@@ -1,0 +1,219 @@
+"""Wavefront path tracer: the TPU-native rebuild of the reference's WGSL
+megakernel `rayColor` (src/pt/reference_path_tracer.wgsl:180-234).
+
+Per sample and pixel, with a single 2D blue-noise value reused for every
+sampling decision that frame (exactly like the reference):
+
+  primary ray (thin lens) → for each bounce:
+    closest hit → albedo lookup → next-event estimation against the solar
+    disk (cone sample, Lambertian brdf, shadow ray, constant solar radiance,
+    inverse cone PDF) → cosine-weighted scatter;
+  miss → analytic Hosek-Wilkie sky radiance (sun NOT added here; it only
+  contributes via NEE) and terminate.
+
+The bounce loop is a statically unrolled masked loop over SoA ray batches —
+rays that have terminated carry a dead mask instead of diverging, which is the
+TPU-friendly formulation of the reference's per-thread `loop`/`break`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sky.model import SkyState, sky_radiance_dist
+from .camera import Camera, generate_camera_ray_lens
+from .intersect import T_MAX, offset_ray, ray_triangle
+from .sampling import sample_cosine_hemisphere, sample_solar_disk_direction
+from .scene import DeviceScene
+from .texture_eval import eval_texture
+from .traverse import intersect_any, intersect_closest
+
+# wgsl:79-83
+TERRESTRIAL_SOLAR_RADIUS = np.float32(0.255 * np.pi / 180.0)
+SOLAR_COS_THETA_MAX = np.float32(np.cos(TERRESTRIAL_SOLAR_RADIUS))
+SOLAR_INV_PDF = np.float32(2.0 * np.pi * (1.0 - SOLAR_COS_THETA_MAX))
+
+FRAC_1_PI = np.float32(1.0 / np.pi)
+
+
+class SamplingParams(NamedTuple):
+    """reference_path_tracer.hpp:26-32 defaults."""
+
+    num_samples_per_pixel: int = 128
+    num_bounces: int = 4
+
+
+def _surface_interaction(scene: DeviceScene, origin, direction, tri_idx):
+    """Recover the reference's Intersection data for known hit triangles:
+    offset hit point (geometric normal), interpolated shading normal, UV and
+    texture index (wgsl:383-401, 477-521)."""
+    verts = scene.tri_positions[tri_idx]  # (B, 3, 3)
+    v0, v1, v2 = verts[:, 0], verts[:, 1], verts[:, 2]
+    _, t, u, v = ray_triangle(origin, direction, v0, v1, v2, jnp.float32(np.inf))
+
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = v0 + u[:, None] * e1 + v[:, None] * e2
+    geo_n = jnp.cross(e1, e2)
+    geo_n = geo_n / jnp.linalg.norm(geo_n, axis=-1, keepdims=True)
+    p_offset = offset_ray(p, geo_n)
+
+    b0 = (jnp.float32(1.0) - u - v)[:, None]
+    b1 = u[:, None]
+    b2 = v[:, None]
+    normals = scene.tri_normals[tri_idx]
+    # Interpolated shading normal; NOT renormalized, matching wgsl:396.
+    n = b0 * normals[:, 0] + b1 * normals[:, 1] + b2 * normals[:, 2]
+    uvs = scene.tri_uvs[tri_idx]
+    uv = b0 * uvs[:, 0] + b1 * uvs[:, 1] + b2 * uvs[:, 2]
+    tex = scene.tri_texture[tri_idx]
+    return p_offset, n, uv, tex, t
+
+
+@partial(jax.jit, static_argnames=("num_bounces",))
+def trace_radiance(
+    scene: DeviceScene,
+    sky: SkyState,
+    origin,
+    direction,
+    noise,
+    num_bounces: int,
+):
+    """Radiance for a batch of primary rays (rayColor, wgsl:180-234).
+
+    origin/direction: (B, 3); noise: (B, 2) reused across all decisions.
+    Returns (B, 3) float32 radiance.
+    """
+    batch = origin.shape[0]
+    radiance = jnp.zeros((batch, 3), jnp.float32)
+    throughput = jnp.ones((batch, 3), jnp.float32)
+    alive = jnp.ones((batch,), jnp.bool_)
+
+    sun_dir = jnp.asarray(sky.sun_direction)
+    solar_radiance = jnp.asarray(sky.solar_radiances)
+
+    for bounce in range(1, num_bounces + 1):
+        hit, _, tri_idx, _ = intersect_closest(scene, origin, direction, T_MAX)
+        hit_lane = alive & hit
+        miss_lane = alive & ~hit
+
+        # --- miss: sky radiance (solar disk excluded; sun arrives via NEE) ---
+        theta = jnp.arccos(jnp.clip(direction[:, 1], -1.0, 1.0))
+        gamma = jnp.arccos(jnp.clip(jnp.sum(direction * sun_dir, axis=-1), -1.0, 1.0))
+        sky_rgb = sky_radiance_dist(sky, theta, gamma)
+        radiance = jnp.where(
+            miss_lane[:, None], radiance + throughput * sky_rgb, radiance
+        )
+
+        # --- hit: NEE toward the solar disk (wgsl:191-203) ---
+        safe_tri = jnp.maximum(tri_idx, 0)
+        p, n, uv, tex, _ = _surface_interaction(scene, origin, direction, safe_tri)
+        albedo = eval_texture(scene, tex, uv)
+
+        light_dir = sample_solar_disk_direction(noise, SOLAR_COS_THETA_MAX, sun_dir)
+        brdf = albedo * FRAC_1_PI
+        # No clamp on the cosine — parity with wgsl:201.
+        cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
+        occluded = intersect_any(scene, p, jnp.broadcast_to(light_dir, p.shape), T_MAX)
+        visibility = jnp.where(occluded, jnp.float32(0.0), jnp.float32(1.0))[:, None]
+        contrib = throughput * solar_radiance * brdf * cos_term * visibility * SOLAR_INV_PDF
+        radiance = jnp.where(hit_lane[:, None], radiance + contrib, radiance)
+
+        alive = hit_lane
+        if bounce == num_bounces:
+            break
+
+        # --- scatter: implicit-PDF Lambertian (wgsl:209-211, 294-301) ---
+        wi = sample_cosine_hemisphere(noise, n)
+        origin = jnp.where(hit_lane[:, None], p, origin)
+        direction = jnp.where(hit_lane[:, None], wi, direction)
+        throughput = jnp.where(hit_lane[:, None], throughput * albedo, throughput)
+
+    return radiance
+
+
+@partial(jax.jit, static_argnames=("width", "height", "num_bounces", "spp"), donate_argnums=(5,))
+def accumulate_sample(
+    scene: DeviceScene,
+    sky: SkyState,
+    camera: Camera,
+    blue_noise_tile,
+    frame_idx,
+    accum,
+    *,
+    width: int,
+    height: int,
+    num_bounces: int,
+    spp: int,
+):
+    """One progressive frame: add one sample per pixel into the accumulation
+    buffer (fsMain, wgsl:34-64). Returns the updated (H*W, 3) buffer.
+
+    Pixel mapping matches the reference's fullscreen pass: the fragment at
+    image row i (top-left origin) uses v = 1 - (i + 0.5)/H flipped back, i.e.
+    ray v = 1 - texCoord.y, plus the blue-noise sub-pixel jitter (wgsl:51-55).
+    """
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.int32),
+        jnp.arange(width, dtype=jnp.int32),
+        indexing="ij",
+    )
+    ys = ys.reshape(-1)
+    xs = xs.reshape(-1)
+
+    from .rng import animated_blue_noise
+
+    noise = animated_blue_noise(ys, xs, frame_idx, jnp.int32(spp), tile=blue_noise_tile)
+
+    # Fragment texCoord.x = (x + 0.5) / W, texCoord.y = (y + 0.5) / H; the
+    # WGSL uses u = texCoord.x and ray v = (1 - texCoord.y), each jittered by
+    # noise / dimensions (wgsl:52-54).
+    u = (xs.astype(jnp.float32) + 0.5) / jnp.float32(width)
+    v_tex = (ys.astype(jnp.float32) + 0.5) / jnp.float32(height)
+    jitter = noise / jnp.asarray([width, height], jnp.float32)
+    ray_u = u + jitter[:, 0]
+    ray_v = (jnp.float32(1.0) - v_tex) + jitter[:, 1]
+
+    origin, direction = generate_camera_ray_lens(camera, noise, ray_u, ray_v)
+    sample = trace_radiance(scene, sky, origin, direction, noise, num_bounces)
+    return accum + sample
+
+
+def render_image(
+    scene: DeviceScene,
+    sky: SkyState,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    sampling: SamplingParams = SamplingParams(),
+    exposure: float = 1.0,
+) -> np.ndarray:
+    """Render a full image: spp progressive samples, running-mean estimator,
+    ACES tonemap + gamma (wgsl:59-63). Returns (H, W, 3) float32 in [0, 1]."""
+    from .rng import blue_noise_tile
+    from .tonemap import tonemap
+
+    tile = jnp.asarray(blue_noise_tile())
+    accum = jnp.zeros((height * width, 3), jnp.float32)
+    for frame_idx in range(sampling.num_samples_per_pixel):
+        accum = accumulate_sample(
+            scene,
+            sky,
+            camera,
+            tile,
+            jnp.int32(frame_idx),
+            accum,
+            width=width,
+            height=height,
+            num_bounces=sampling.num_bounces,
+            spp=sampling.num_samples_per_pixel,
+        )
+    estimator = accum / jnp.float32(sampling.num_samples_per_pixel)
+    img = tonemap(estimator, exposure)
+    return np.asarray(img).reshape(height, width, 3)

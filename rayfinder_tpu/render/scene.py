@@ -1,0 +1,118 @@
+"""Device-resident scene: SoA jnp arrays consumed by the render kernels.
+
+The TPU analog of the reference's scene bind group
+(src/pt/reference_path_tracer.cpp:131-270): BVH nodes, triangle attribute
+arrays in BVH leaf order, a texture-descriptor table, and one packed texel
+atlas. All arrays are static-shaped device buffers in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bvh import Bvh, build_bvh, reorder_attributes
+from ..scene import FlattenedScene, Texture
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
+    """SoA device arrays. Triangles are in BVH leaf order."""
+
+    # BVH (reference node contract, bvh.hpp:14-21, split into SoA planes)
+    bvh_aabb_min: Any  # (N, 3) f32
+    bvh_aabb_max: Any  # (N, 3) f32
+    bvh_tri_offset: Any  # (N,) i32
+    bvh_second_child: Any  # (N,) i32
+    bvh_tri_count: Any  # (N,) i32
+    bvh_split_axis: Any  # (N,) i32 (leaf nodes hold an arbitrary valid axis)
+
+    # Triangle attributes (reference_path_tracer.wgsl:133-149)
+    tri_positions: Any  # (T, 3, 3) f32
+    tri_normals: Any  # (T, 3, 3) f32
+    tri_uvs: Any  # (T, 3, 2) f32
+    tri_texture: Any  # (T,) i32
+
+    # Texture atlas (reference_path_tracer.cpp:209-270)
+    tex_width: Any  # (K,) i32
+    tex_height: Any  # (K,) i32
+    tex_offset: Any  # (K,) i32
+    texels: Any  # (P,) uint32 packed BGRA
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_positions.shape[0]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.bvh_aabb_min.shape[0]
+
+
+def build_device_scene(
+    flat: FlattenedScene,
+    bvh: Bvh | None = None,
+    textures: list[Texture] | None = None,
+) -> DeviceScene:
+    """Build the BVH (if not given), reorder attributes into leaf order, pack
+    textures into one atlas, and upload everything as jnp arrays."""
+    if bvh is None:
+        bvh = build_bvh(flat.positions)
+
+    positions = reorder_attributes(flat.positions, bvh.triangle_indices)
+    normals = reorder_attributes(flat.normals, bvh.triangle_indices)
+    uvs = reorder_attributes(flat.tex_coords, bvh.triangle_indices)
+    tex_idx = reorder_attributes(flat.texture_indices, bvh.triangle_indices)
+
+    if textures:
+        widths = np.asarray([t.width for t in textures], dtype=np.int32)
+        heights = np.asarray([t.height for t in textures], dtype=np.int32)
+        sizes = widths.astype(np.int64) * heights
+        offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+        texels = np.concatenate([t.pixels for t in textures]).astype(np.uint32)
+    else:
+        widths = np.asarray([1], dtype=np.int32)
+        heights = np.asarray([1], dtype=np.int32)
+        offsets = np.asarray([0], dtype=np.int32)
+        # Default white texel: BGRA 0xFFFFFFFF.
+        texels = np.asarray([0xFFFFFFFF], dtype=np.uint32)
+
+    return DeviceScene(
+        bvh_aabb_min=jnp.asarray(bvh.aabb_min),
+        bvh_aabb_max=jnp.asarray(bvh.aabb_max),
+        bvh_tri_offset=jnp.asarray(bvh.triangles_offset.astype(np.int32)),
+        bvh_second_child=jnp.asarray(bvh.second_child_offset.astype(np.int32)),
+        bvh_tri_count=jnp.asarray(bvh.triangle_count.astype(np.int32)),
+        bvh_split_axis=jnp.asarray(
+            np.where(bvh.triangle_count > 0, 0, bvh.split_axis).astype(np.int32)
+        ),
+        tri_positions=jnp.asarray(positions),
+        tri_normals=jnp.asarray(normals),
+        tri_uvs=jnp.asarray(uvs),
+        tri_texture=jnp.asarray(tex_idx.astype(np.int32)),
+        tex_width=jnp.asarray(widths),
+        tex_height=jnp.asarray(heights),
+        tex_offset=jnp.asarray(offsets),
+        texels=jnp.asarray(texels),
+    )
+
+
+def load_device_scene(path) -> DeviceScene:
+    """Load a .glb/.gltf or .pt file straight into a DeviceScene."""
+    import pathlib
+
+    path = pathlib.Path(path)
+    if path.suffix == ".pt":
+        from ..io.ptformat import read_pt
+
+        pt = read_pt(path)
+        return pt.to_device_scene()
+    from ..scene import load_gltf
+
+    scene = load_gltf(path)
+    flat = FlattenedScene.from_scene(scene)
+    return build_device_scene(flat, textures=scene.base_color_textures)
