@@ -1,0 +1,116 @@
+"""Benchmark: Duck.glb full path trace on one chip (BASELINE config 3).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures steady-state rays/second of the wavefront path tracer at 800x600
+with the reference's renderer defaults (4 bounces). Rays counted as the
+reference's instrumentation would: one closest-hit ray per bounce segment
+plus one NEE shadow ray per surface hit. vs_baseline is relative to the
+driver's north-star target of 200 Mrays/s/chip (BASELINE.md) — the reference
+itself publishes no numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+pathlib.Path(os.environ["JAX_COMPILATION_CACHE_DIR"]).mkdir(parents=True, exist_ok=True)
+
+import numpy as np
+
+DUCK = "/root/reference/assets/Duck.glb"
+WIDTH, HEIGHT = 800, 600
+BOUNCES = 4
+WARMUP_SAMPLES = 2
+TIMED_SAMPLES = 8
+TARGET_MRAYS = 200.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rayfinder_tpu.render.camera import create_camera
+    from rayfinder_tpu.render.pathtracer import accumulate_sample, trace_radiance
+    from rayfinder_tpu.render.rng import blue_noise_tile
+    from rayfinder_tpu.render.scene import load_device_scene
+    from rayfinder_tpu.render.wavefront import intersect_closest_wavefront
+    from rayfinder_tpu.sky.model import sky_state_from_ui
+
+    scene = load_device_scene(DUCK)
+    camera = create_camera(
+        [2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, WIDTH / HEIGHT
+    )
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    tile = jnp.asarray(blue_noise_tile())
+
+    accum = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
+
+    def step(frame_idx, accum):
+        return accumulate_sample(
+            scene,
+            sky,
+            camera,
+            tile,
+            jnp.int32(frame_idx),
+            accum,
+            width=WIDTH,
+            height=HEIGHT,
+            num_bounces=BOUNCES,
+            spp=256,
+            engine="wavefront",
+        )
+
+    for k in range(WARMUP_SAMPLES):
+        accum = step(k, accum)
+    accum.block_until_ready()
+
+    t0 = time.time()
+    for k in range(WARMUP_SAMPLES, WARMUP_SAMPLES + TIMED_SAMPLES):
+        accum = step(k, accum)
+    accum.block_until_ready()
+    dt = time.time() - t0
+
+    # Count useful rays the way the megakernel traces them: per sample and
+    # pixel, one closest-hit segment per live bounce plus one NEE shadow ray
+    # per surface hit. Live fractions estimated geometrically from the
+    # primary-hit rate h: closest = sum_{b<B} h^b, shadow = sum_{1<=b<=B} h^b.
+    h = _primary_hit_rate(scene, camera)
+    closest_rays = sum(h**b for b in range(BOUNCES))
+    shadow_rays = sum(h**b for b in range(1, BOUNCES + 1))
+    total_rays = WIDTH * HEIGHT * TIMED_SAMPLES * (closest_rays + shadow_rays)
+    mrays = total_rays / dt / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "duck_800x600_4bounce_path_trace",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+            }
+        )
+    )
+
+
+def _primary_hit_rate(scene, camera) -> float:
+    import jax.numpy as jnp
+
+    from rayfinder_tpu.render.camera import generate_camera_ray
+    from rayfinder_tpu.render.wavefront import intersect_closest_wavefront
+
+    n = 128
+    js, is_ = np.meshgrid(np.arange(n), np.arange(n), indexing="xy")
+    u = js.reshape(-1).astype(np.float32) / n
+    v = 1.0 - (is_.reshape(-1) + 1.0).astype(np.float32) / n
+    o, d = generate_camera_ray(camera, u, v)
+    hit, _, _, _ = intersect_closest_wavefront(scene, o, d, jnp.float32(1e4))
+    return float(np.asarray(hit).mean())
+
+
+if __name__ == "__main__":
+    main()

@@ -75,7 +75,7 @@ def _surface_interaction(scene: DeviceScene, origin, direction, tri_idx):
     return p_offset, n, uv, tex, t
 
 
-@partial(jax.jit, static_argnames=("num_bounces",))
+@partial(jax.jit, static_argnames=("num_bounces", "engine"))
 def trace_radiance(
     scene: DeviceScene,
     sky: SkyState,
@@ -83,12 +83,34 @@ def trace_radiance(
     direction,
     noise,
     num_bounces: int,
+    engine: str = "wavefront",
 ):
     """Radiance for a batch of primary rays (rayColor, wgsl:180-234).
 
     origin/direction: (B, 3); noise: (B, 2) reused across all decisions.
+    engine: "reference" = lockstep per-ray stack traversal (traverse.py),
+    "wavefront" = cluster cull + blocked intersection (wavefront.py).
     Returns (B, 3) float32 radiance.
     """
+    if engine == "wavefront":
+        from .wavefront import intersect_any_wavefront, intersect_closest_wavefront
+
+        def closest(s, o, d, tm):
+            hit, t, tri, _ = intersect_closest_wavefront(s, o, d, tm)
+            return hit, t, tri, None
+
+        def any_hit(s, o, d, tm):
+            occ, _ = intersect_any_wavefront(s, o, d, tm)
+            return occ
+
+    else:
+
+        def closest(s, o, d, tm):
+            return intersect_closest(s, o, d, tm)
+
+        def any_hit(s, o, d, tm):
+            return intersect_any(s, o, d, tm)
+
     batch = origin.shape[0]
     radiance = jnp.zeros((batch, 3), jnp.float32)
     throughput = jnp.ones((batch, 3), jnp.float32)
@@ -98,7 +120,7 @@ def trace_radiance(
     solar_radiance = jnp.asarray(sky.solar_radiances)
 
     for bounce in range(1, num_bounces + 1):
-        hit, _, tri_idx, _ = intersect_closest(scene, origin, direction, T_MAX)
+        hit, _, tri_idx, _ = closest(scene, origin, direction, T_MAX)
         hit_lane = alive & hit
         miss_lane = alive & ~hit
 
@@ -119,7 +141,7 @@ def trace_radiance(
         brdf = albedo * FRAC_1_PI
         # No clamp on the cosine — parity with wgsl:201.
         cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
-        occluded = intersect_any(scene, p, jnp.broadcast_to(light_dir, p.shape), T_MAX)
+        occluded = any_hit(scene, p, jnp.broadcast_to(light_dir, p.shape), T_MAX)
         visibility = jnp.where(occluded, jnp.float32(0.0), jnp.float32(1.0))[:, None]
         contrib = throughput * solar_radiance * brdf * cos_term * visibility * SOLAR_INV_PDF
         radiance = jnp.where(hit_lane[:, None], radiance + contrib, radiance)
@@ -137,7 +159,11 @@ def trace_radiance(
     return radiance
 
 
-@partial(jax.jit, static_argnames=("width", "height", "num_bounces", "spp"), donate_argnums=(5,))
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "num_bounces", "spp", "engine"),
+    donate_argnums=(5,),
+)
 def accumulate_sample(
     scene: DeviceScene,
     sky: SkyState,
@@ -150,6 +176,7 @@ def accumulate_sample(
     height: int,
     num_bounces: int,
     spp: int,
+    engine: str = "wavefront",
 ):
     """One progressive frame: add one sample per pixel into the accumulation
     buffer (fsMain, wgsl:34-64). Returns the updated (H*W, 3) buffer.
@@ -180,7 +207,7 @@ def accumulate_sample(
     ray_v = (jnp.float32(1.0) - v_tex) + jitter[:, 1]
 
     origin, direction = generate_camera_ray_lens(camera, noise, ray_u, ray_v)
-    sample = trace_radiance(scene, sky, origin, direction, noise, num_bounces)
+    sample = trace_radiance(scene, sky, origin, direction, noise, num_bounces, engine)
     return accum + sample
 
 
@@ -193,6 +220,7 @@ def render_image(
     height: int,
     sampling: SamplingParams = SamplingParams(),
     exposure: float = 1.0,
+    engine: str = "wavefront",
 ) -> np.ndarray:
     """Render a full image: spp progressive samples, running-mean estimator,
     ACES tonemap + gamma (wgsl:59-63). Returns (H, W, 3) float32 in [0, 1]."""
@@ -213,6 +241,7 @@ def render_image(
             height=height,
             num_bounces=sampling.num_bounces,
             spp=sampling.num_samples_per_pixel,
+            engine=engine,
         )
     estimator = accum / jnp.float32(sampling.num_samples_per_pixel)
     img = tonemap(estimator, exposure)

@@ -44,6 +44,12 @@ class DeviceScene:
     tex_offset: Any  # (K,) i32
     texels: Any  # (P,) uint32 packed BGRA
 
+    # Triangle clusters for the TPU wavefront engine (bvh/clusters.py)
+    cluster_tris: Any  # (C, L, 3, 3) f32 padded blocks
+    cluster_min: Any  # (C, 3) f32
+    cluster_max: Any  # (C, 3) f32
+    cluster_tri_map: Any  # (C * L,) i32 padded slot -> real triangle
+
     @property
     def num_triangles(self) -> int:
         return self.tri_positions.shape[0]
@@ -62,6 +68,7 @@ def build_device_scene(
     textures into one atlas, and upload everything as jnp arrays."""
     if bvh is None:
         bvh = build_bvh(flat.positions)
+    from ..bvh.clusters import build_clusters
 
     positions = reorder_attributes(flat.positions, bvh.triangle_indices)
     normals = reorder_attributes(flat.normals, bvh.triangle_indices)
@@ -81,6 +88,8 @@ def build_device_scene(
         # Default white texel: BGRA 0xFFFFFFFF.
         texels = np.asarray([0xFFFFFFFF], dtype=np.uint32)
 
+    clusters = build_clusters(positions)
+
     return DeviceScene(
         bvh_aabb_min=jnp.asarray(bvh.aabb_min),
         bvh_aabb_max=jnp.asarray(bvh.aabb_max),
@@ -98,6 +107,10 @@ def build_device_scene(
         tex_height=jnp.asarray(heights),
         tex_offset=jnp.asarray(offsets),
         texels=jnp.asarray(texels),
+        cluster_tris=jnp.asarray(clusters.tris),
+        cluster_min=jnp.asarray(clusters.aabb_min),
+        cluster_max=jnp.asarray(clusters.aabb_max),
+        cluster_tri_map=jnp.asarray(clusters.tri_map),
     )
 
 

@@ -7,12 +7,18 @@ anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The container's axon sitecustomize force-registers the TPU backend and sets
+# jax_platforms explicitly, overriding the env var — override it back.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,100 @@
+"""Wavefront engine vs lockstep reference traversal: exact agreement on
+hit/miss, distance, and triangle, for camera rays and random scattered rays."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rayfinder_tpu.render.traverse import intersect_closest, intersect_any
+from rayfinder_tpu.render.wavefront import (
+    intersect_any_wavefront,
+    intersect_closest_wavefront,
+)
+
+
+def _camera_rays(scene, n=64):
+    from rayfinder_tpu.render.camera import create_camera, generate_camera_ray
+
+    lo = np.asarray(scene.bvh_aabb_min[0])
+    hi = np.asarray(scene.bvh_aabb_max[0])
+    diag = hi - lo
+    centroid = 0.5 * (lo + hi)
+    max_dim = int(np.argmax(diag))
+    origin = centroid - np.asarray([-0.8 * diag[max_dim], 0.0, 0.8 * diag[max_dim]])
+    cam = create_camera(origin, centroid, 0.0, 1.0, 70.0, 1.0)
+    js, is_ = np.meshgrid(np.arange(n), np.arange(n), indexing="xy")
+    u = js.reshape(-1).astype(np.float32) / n
+    v = 1.0 - (is_.reshape(-1) + 1.0).astype(np.float32) / n
+    return generate_camera_ray(cam, u, v)
+
+
+def test_closest_matches_reference_on_camera_rays(duck_device_scene):
+    scene = duck_device_scene
+    o, d = _camera_rays(scene)
+    t_max = jnp.float32(1e4)
+
+    ref_hit, ref_t, ref_tri, _ = intersect_closest(scene, o, d, t_max)
+    wf_hit, wf_t, wf_tri, overflow = intersect_closest_wavefront(scene, o, d, t_max)
+
+    assert int(overflow) == 0, "top-k cluster capacity exceeded"
+    np.testing.assert_array_equal(np.asarray(wf_hit), np.asarray(ref_hit))
+    hits = np.asarray(ref_hit)
+    # Same formula, different fusion: XLA's FMA contraction differs between
+    # the two compiled kernels, so t agrees to last-ulp, not bit-exactly.
+    np.testing.assert_allclose(
+        np.asarray(wf_t)[hits], np.asarray(ref_t)[hits], rtol=2e-6, atol=1e-6
+    )
+    # Triangles agree except where two triangles tie on t exactly.
+    tie_free = hits & (np.asarray(wf_tri) == np.asarray(ref_tri))
+    assert tie_free.sum() >= 0.999 * hits.sum()
+
+
+def test_closest_matches_reference_on_random_rays(duck_device_scene, rng):
+    scene = duck_device_scene
+    lo = np.asarray(scene.bvh_aabb_min[0])
+    hi = np.asarray(scene.bvh_aabb_max[0])
+    n = 512
+    o = rng.uniform(lo - 0.5, hi + 0.5, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = jnp.float32(1e4)
+
+    ref_hit, ref_t, _, _ = intersect_closest(scene, jnp.asarray(o), jnp.asarray(d), t_max)
+    wf_hit, wf_t, _, overflow = intersect_closest_wavefront(
+        scene, jnp.asarray(o), jnp.asarray(d), t_max
+    )
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(wf_hit), np.asarray(ref_hit))
+    hits = np.asarray(ref_hit)
+    np.testing.assert_allclose(
+        np.asarray(wf_t)[hits], np.asarray(ref_t)[hits], rtol=2e-6, atol=1e-6
+    )
+
+
+def test_any_hit_matches_reference(duck_device_scene, rng):
+    scene = duck_device_scene
+    lo = np.asarray(scene.bvh_aabb_min[0])
+    hi = np.asarray(scene.bvh_aabb_max[0])
+    n = 512
+    o = rng.uniform(lo - 0.5, hi + 0.5, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = jnp.float32(1e4)
+
+    ref = intersect_any(scene, jnp.asarray(o), jnp.asarray(d), t_max)
+    wf, _ = intersect_any_wavefront(scene, jnp.asarray(o), jnp.asarray(d), t_max)
+    np.testing.assert_array_equal(np.asarray(wf), np.asarray(ref))
+
+
+def test_cluster_tri_map_roundtrip(duck_device_scene):
+    scene = duck_device_scene
+    c, l = scene.cluster_tris.shape[:2]
+    tri_map = np.asarray(scene.cluster_tri_map)
+    assert tri_map.shape == (c * l,)
+    n_real = scene.num_triangles
+    # Real slots map to themselves; padded slots map to a real triangle.
+    np.testing.assert_array_equal(tri_map[:n_real], np.arange(n_real))
+    assert np.all(tri_map[n_real:] < n_real)
+    # Cluster blocks hold the leaf-ordered triangles.
+    blocks = np.asarray(scene.cluster_tris).reshape(c * l, 3, 3)
+    np.testing.assert_array_equal(blocks[:n_real], np.asarray(scene.tri_positions))
