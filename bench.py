@@ -62,17 +62,21 @@ def main() -> None:
             height=HEIGHT,
             num_bounces=BOUNCES,
             spp=256,
-            engine="wavefront",
+            engine="pallas",
         )
+
+    # block_until_ready is unreliable through the axon tunnel (returns while
+    # work is still queued); fence with a jitted scalar reduction + host fetch.
+    fence = jax.jit(lambda a: jnp.sum(a))
 
     for k in range(WARMUP_SAMPLES):
         accum = step(k, accum)
-    accum.block_until_ready()
+    float(fence(accum))
 
     t0 = time.time()
     for k in range(WARMUP_SAMPLES, WARMUP_SAMPLES + TIMED_SAMPLES):
         accum = step(k, accum)
-    accum.block_until_ready()
+    float(fence(accum))
     dt = time.time() - t0
 
     # Count useful rays the way the megakernel traces them: per sample and

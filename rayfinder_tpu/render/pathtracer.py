@@ -92,7 +92,17 @@ def trace_radiance(
     "wavefront" = cluster cull + blocked intersection (wavefront.py).
     Returns (B, 3) float32 radiance.
     """
-    if engine == "wavefront":
+    if engine == "pallas":
+        from ..ops.pallas_walk import pallas_intersect_any, pallas_intersect_closest
+
+        def closest(s, o, d, tm):
+            hit, t, tri = pallas_intersect_closest(s, o, d, tm)
+            return hit, t, tri, None
+
+        def any_hit(s, o, d, tm):
+            return pallas_intersect_any(s, o, d, tm)
+
+    elif engine == "wavefront":
         from .wavefront import intersect_any_wavefront, intersect_closest_wavefront
 
         def closest(s, o, d, tm):

@@ -36,9 +36,10 @@ def main(argv=None) -> int:
     parser.add_argument("--camera-look-at", type=float, nargs=3, default=None)
     parser.add_argument(
         "--engine",
-        choices=["reference", "wavefront"],
-        default="wavefront",
-        help="traversal engine: lockstep reference or the TPU wavefront path",
+        choices=["reference", "wavefront", "pallas"],
+        default="pallas",
+        help="traversal engine: lockstep reference, XLA wavefront, or the "
+        "Pallas cluster-sweep kernels",
     )
     args = parser.parse_args(argv)
 

@@ -1,0 +1,52 @@
+"""Pallas cluster-sweep kernels vs the XLA wavefront walk (interpreter mode
+on CPU; the same comparisons run compiled on real TPU in bench/dev loops)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rayfinder_tpu.ops.pallas_walk import (
+    pallas_intersect_any,
+    pallas_intersect_closest,
+)
+from rayfinder_tpu.render.wavefront import (
+    intersect_any_wavefront,
+    intersect_closest_wavefront,
+)
+
+
+@pytest.fixture(scope="module")
+def rays(duck_device_scene):
+    scene = duck_device_scene
+    lo = np.asarray(scene.bvh_aabb_min[0])
+    hi = np.asarray(scene.bvh_aabb_max[0])
+    rng = np.random.default_rng(99)
+    n = 256
+    o = rng.uniform(lo - 0.5, hi + 0.5, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_pallas_closest_matches_wavefront(duck_device_scene, rays):
+    o, d = rays
+    t_max = jnp.float32(1e4)
+    ph, pt, ptri = pallas_intersect_closest(duck_device_scene, o, d, t_max)
+    wh, wt, wtri, _ = intersect_closest_wavefront(duck_device_scene, o, d, t_max)
+
+    np.testing.assert_array_equal(np.asarray(ph), np.asarray(wh))
+    both = np.asarray(ph)
+    np.testing.assert_allclose(
+        np.asarray(pt)[both], np.asarray(wt)[both], rtol=2e-6, atol=1e-6
+    )
+    # Near-identical fusion: triangles should agree everywhere but exact ties.
+    agree = (np.asarray(ptri)[both] == np.asarray(wtri)[both]).mean()
+    assert agree >= 0.999
+
+
+def test_pallas_any_matches_wavefront(duck_device_scene, rays):
+    o, d = rays
+    t_max = jnp.float32(1e4)
+    po = pallas_intersect_any(duck_device_scene, o, d, t_max)
+    wo, _ = intersect_any_wavefront(duck_device_scene, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(po), np.asarray(wo))
