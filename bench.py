@@ -35,7 +35,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from rayfinder_tpu.render.camera import create_camera
-    from rayfinder_tpu.render.pathtracer import accumulate_sample, trace_radiance
+    from rayfinder_tpu.render.pathtracer import accumulate_samples
     from rayfinder_tpu.render.rng import blue_noise_tile
     from rayfinder_tpu.render.scene import load_device_scene
     from rayfinder_tpu.render.wavefront import intersect_closest_wavefront
@@ -50,8 +50,8 @@ def main() -> None:
 
     accum = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
 
-    def step(frame_idx, accum):
-        return accumulate_sample(
+    def step(frame_idx, accum, n):
+        return accumulate_samples(
             scene,
             sky,
             camera,
@@ -62,6 +62,7 @@ def main() -> None:
             height=HEIGHT,
             num_bounces=BOUNCES,
             spp=256,
+            num_frames=n,
             engine="pallas",
         )
 
@@ -69,13 +70,11 @@ def main() -> None:
     # work is still queued); fence with a jitted scalar reduction + host fetch.
     fence = jax.jit(lambda a: jnp.sum(a))
 
-    for k in range(WARMUP_SAMPLES):
-        accum = step(k, accum)
+    accum = step(0, accum, TIMED_SAMPLES)  # warmup batch (also compiles)
     float(fence(accum))
 
     t0 = time.time()
-    for k in range(WARMUP_SAMPLES, WARMUP_SAMPLES + TIMED_SAMPLES):
-        accum = step(k, accum)
+    accum = step(TIMED_SAMPLES, accum, TIMED_SAMPLES)
     float(fence(accum))
     dt = time.time() - t0
 

@@ -51,8 +51,12 @@ class SamplingParams(NamedTuple):
 def _surface_interaction(scene: DeviceScene, origin, direction, tri_idx):
     """Recover the reference's Intersection data for known hit triangles:
     offset hit point (geometric normal), interpolated shading normal, UV and
-    texture index (wgsl:383-401, 477-521)."""
-    verts = scene.tri_positions[tri_idx]  # (B, 3, 3)
+    texture index (wgsl:383-401, 477-521).
+
+    One chunky (B, 25) row gather from the packed attribute table instead of
+    four small gathers — TPU gathers are row-count bound, not byte bound."""
+    attrs = scene.tri_attrs[tri_idx]  # (B, 25)
+    verts = attrs[:, 0:9].reshape(-1, 3, 3)
     v0, v1, v2 = verts[:, 0], verts[:, 1], verts[:, 2]
     _, t, u, v = ray_triangle(origin, direction, v0, v1, v2, jnp.float32(np.inf))
 
@@ -66,12 +70,12 @@ def _surface_interaction(scene: DeviceScene, origin, direction, tri_idx):
     b0 = (jnp.float32(1.0) - u - v)[:, None]
     b1 = u[:, None]
     b2 = v[:, None]
-    normals = scene.tri_normals[tri_idx]
+    normals = attrs[:, 9:18].reshape(-1, 3, 3)
     # Interpolated shading normal; NOT renormalized, matching wgsl:396.
     n = b0 * normals[:, 0] + b1 * normals[:, 1] + b2 * normals[:, 2]
-    uvs = scene.tri_uvs[tri_idx]
+    uvs = attrs[:, 18:24].reshape(-1, 3, 2)
     uv = b0 * uvs[:, 0] + b1 * uvs[:, 1] + b2 * uvs[:, 2]
-    tex = scene.tri_texture[tri_idx]
+    tex = jax.lax.bitcast_convert_type(attrs[:, 24], jnp.int32)
     return p_offset, n, uv, tex, t
 
 
@@ -221,6 +225,55 @@ def accumulate_sample(
     return accum + sample
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "num_bounces", "spp", "num_frames", "engine"),
+    donate_argnums=(5,),
+)
+def accumulate_samples(
+    scene: DeviceScene,
+    sky: SkyState,
+    camera: Camera,
+    blue_noise_tile,
+    frame_base,
+    accum,
+    *,
+    width: int,
+    height: int,
+    num_bounces: int,
+    spp: int,
+    num_frames: int,
+    engine: str = "pallas",
+):
+    """Add `num_frames` progressive samples in one dispatch via lax.scan —
+    the body compiles once and host round-trips are amortized (the axon
+    tunnel costs ~27ms per dispatch)."""
+    from .rng import animated_blue_noise
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.int32),
+        jnp.arange(width, dtype=jnp.int32),
+        indexing="ij",
+    )
+    ys = ys.reshape(-1)
+    xs = xs.reshape(-1)
+    u = (xs.astype(jnp.float32) + 0.5) / jnp.float32(width)
+    v_tex = (ys.astype(jnp.float32) + 0.5) / jnp.float32(height)
+
+    def body(accum, k):
+        frame_idx = frame_base + k
+        noise = animated_blue_noise(ys, xs, frame_idx, jnp.int32(spp), tile=blue_noise_tile)
+        jitter = noise / jnp.asarray([width, height], jnp.float32)
+        ray_u = u + jitter[:, 0]
+        ray_v = (jnp.float32(1.0) - v_tex) + jitter[:, 1]
+        origin, direction = generate_camera_ray_lens(camera, noise, ray_u, ray_v)
+        sample = trace_radiance(scene, sky, origin, direction, noise, num_bounces, engine)
+        return accum + sample, None
+
+    accum, _ = jax.lax.scan(body, accum, jnp.arange(num_frames, dtype=jnp.int32))
+    return accum
+
+
 def render_image(
     scene: DeviceScene,
     sky: SkyState,
@@ -230,7 +283,8 @@ def render_image(
     height: int,
     sampling: SamplingParams = SamplingParams(),
     exposure: float = 1.0,
-    engine: str = "wavefront",
+    engine: str = "pallas",
+    samples_per_dispatch: int = 16,
 ) -> np.ndarray:
     """Render a full image: spp progressive samples, running-mean estimator,
     ACES tonemap + gamma (wgsl:59-63). Returns (H, W, 3) float32 in [0, 1]."""
@@ -239,8 +293,11 @@ def render_image(
 
     tile = jnp.asarray(blue_noise_tile())
     accum = jnp.zeros((height * width, 3), jnp.float32)
-    for frame_idx in range(sampling.num_samples_per_pixel):
-        accum = accumulate_sample(
+    spp = sampling.num_samples_per_pixel
+    frame_idx = 0
+    while frame_idx < spp:
+        batch = min(samples_per_dispatch, spp - frame_idx)
+        accum = accumulate_samples(
             scene,
             sky,
             camera,
@@ -250,9 +307,11 @@ def render_image(
             width=width,
             height=height,
             num_bounces=sampling.num_bounces,
-            spp=sampling.num_samples_per_pixel,
+            spp=spp,
+            num_frames=batch,
             engine=engine,
         )
-    estimator = accum / jnp.float32(sampling.num_samples_per_pixel)
+        frame_idx += batch
+    estimator = accum / jnp.float32(spp)
     img = tonemap(estimator, exposure)
     return np.asarray(img).reshape(height, width, 3)

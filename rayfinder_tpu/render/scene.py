@@ -50,6 +50,11 @@ class DeviceScene:
     cluster_max: Any  # (C, 3) f32
     cluster_tri_map: Any  # (C * L,) i32 padded slot -> real triangle
 
+    # Packed per-triangle shading attributes: one 25-float row per triangle
+    # (9 positions, 9 normals, 6 uvs, texture index as bitcast f32) so the
+    # post-traversal surface lookup is a single chunky row gather.
+    tri_attrs: Any  # (T, 25) f32
+
     @property
     def num_triangles(self) -> int:
         return self.tri_positions.shape[0]
@@ -90,6 +95,13 @@ def build_device_scene(
 
     clusters = build_clusters(positions)
 
+    num_tris = positions.shape[0]
+    tri_attrs = np.empty((num_tris, 25), dtype=np.float32)
+    tri_attrs[:, 0:9] = positions.reshape(num_tris, 9)
+    tri_attrs[:, 9:18] = normals.reshape(num_tris, 9)
+    tri_attrs[:, 18:24] = uvs.reshape(num_tris, 6)
+    tri_attrs[:, 24] = tex_idx.astype(np.uint32).view(np.float32)
+
     return DeviceScene(
         bvh_aabb_min=jnp.asarray(bvh.aabb_min),
         bvh_aabb_max=jnp.asarray(bvh.aabb_max),
@@ -111,6 +123,7 @@ def build_device_scene(
         cluster_min=jnp.asarray(clusters.aabb_min),
         cluster_max=jnp.asarray(clusters.aabb_max),
         cluster_tri_map=jnp.asarray(clusters.tri_map),
+        tri_attrs=jnp.asarray(tri_attrs),
     )
 
 
