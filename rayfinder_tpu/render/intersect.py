@@ -28,17 +28,19 @@ _FLOAT_SCALE = jnp.float32(1.0 / 65536.0)
 _INT_SCALE = jnp.float32(256.0)
 
 
-def offset_ray(p, n):
+def offset_ray(p, n, int_scale=_INT_SCALE, float_scale=_FLOAT_SCALE):
     """Scale-invariant surface offset along n (ray_intersection.cpp:17-35).
 
     Adds an integer offset directly into the float mantissa except near the
-    origin, where a fixed epsilon is used instead.
+    origin, where a fixed epsilon is used instead. The deferred renderer's
+    lighting pass uses different scales (INT_SCALE=1024, FLOAT_SCALE=1/16384,
+    deferred_renderer_lighting_pass.wgsl:500-502).
     """
-    offset = (_INT_SCALE * n).astype(jnp.int32)
+    offset = (jnp.float32(int_scale) * n).astype(jnp.int32)
     p_bits = jax.lax.bitcast_convert_type(p, jnp.int32)
     po_bits = p_bits + jnp.where(p < 0, -offset, offset)
     po = jax.lax.bitcast_convert_type(po_bits, jnp.float32)
-    return jnp.where(jnp.abs(p) < _ORIGIN, p + _FLOAT_SCALE * n, po)
+    return jnp.where(jnp.abs(p) < _ORIGIN, p + jnp.float32(float_scale) * n, po)
 
 
 def ray_triangle(origin, direction, v0, v1, v2, t_max):
