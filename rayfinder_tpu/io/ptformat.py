@@ -28,7 +28,7 @@ import struct
 
 import numpy as np
 
-from ..bvh import Bvh, build_bvh, reorder_attributes
+from ..bvh import Bvh, reorder_attributes
 from ..scene import FlattenedScene, GltfScene, Texture
 
 MAGIC = b"PTFORMAT3"
@@ -83,8 +83,10 @@ class PtScene:
 
     @staticmethod
     def from_scene(scene: GltfScene) -> "PtScene":
+        from ..bvh.native import build_bvh_fast
+
         flat = FlattenedScene.from_scene(scene)
-        bvh = build_bvh(flat.positions)
+        bvh = build_bvh_fast(flat.positions)
 
         positions = reorder_attributes(flat.positions, bvh.triangle_indices)
         normals = reorder_attributes(flat.normals, bvh.triangle_indices)

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..bvh import Bvh, build_bvh, reorder_attributes
+from ..bvh import Bvh, reorder_attributes
 from ..scene import FlattenedScene, Texture
 
 
@@ -72,7 +72,9 @@ def build_device_scene(
     """Build the BVH (if not given), reorder attributes into leaf order, pack
     textures into one atlas, and upload everything as jnp arrays."""
     if bvh is None:
-        bvh = build_bvh(flat.positions)
+        from ..bvh.native import build_bvh_fast
+
+        bvh = build_bvh_fast(flat.positions)
     from ..bvh.clusters import build_clusters
 
     positions = reorder_attributes(flat.positions, bvh.triangle_indices)
