@@ -1,29 +1,31 @@
-"""Pallas TPU kernels for cluster-sweep ray traversal.
+"""Pallas TPU kernels for two-level cluster-sweep ray traversal.
 
 The XLA wavefront walk (render/wavefront.py) is HBM-bound: every walk step
 gathers (chunk, L, 3, 3) triangle blocks out to HBM and reads them back. These
-kernels keep the whole cluster table **resident in VMEM** (Duck: 0.15 MB,
-Sponza at 262K tris: 9.4 MB — both fit the ~16 MB budget) and sweep clusters
-per ray tile:
+kernels reorganize traversal around the TPU's strengths:
 
-* grid over ray tiles of TILE rays; rays live in VMEM registers;
-* one vectorized slab pass computes every (cluster, ray) entry distance into
-  a (C, TILE) scratch — elementwise VPU work, broadcast (C,1) x (1,TILE);
-* a `fori_loop` sweeps clusters in leaf (spatial) order; a tile is tested
-  against cluster c only when some lane still needs it
-  (`entry[c] < best_t`), via `lax.cond` — the TPU analog of BVH pruning;
-* dense Möller-Trumbore of (TILE, L) per tested cluster, numerics identical
-  to render/intersect.py (EPSILON 1e-5, same accept tests,
-  reference: src/pt/reference_path_tracer.wgsl:477-521).
+* triangles are grouped into clusters of L consecutive leaf-ordered
+  triangles, and clusters into super-clusters of SUPER consecutive clusters
+  (both spatially coherent: the SAH builder's depth-first leaf order is a
+  space-filling walk);
+* the Pallas grid is **(ray tiles, super-clusters)** with supers innermost:
+  each step streams ONE super's (SUPER, 9, L) triangle slice through VMEM
+  (147 KB double-buffered — scales to millions of triangles where a fully
+  VMEM-resident table would not), while the per-tile outputs (best t / tri,
+  occlusion) live in VMEM across the super sweep as accumulation state;
+* at each step the tile tests the super's entry distance against its current
+  best hits and skips all work when no lane needs it (`pl.when`) — the
+  block-uniform analog of BVH pruning. Surviving clusters run dense
+  (TILE, L) Möller-Trumbore with numerics identical to render/intersect.py
+  (EPSILON 1e-5, reference: src/pt/reference_path_tracer.wgsl:477-521).
 
-Outputs are (t, padded triangle slot) per ray; callers map slots through
-cluster_tri_map. Correctness is pinned against the XLA walk in
-tests/test_pallas_walk.py.
+Mosaic constraints shape the code: leading-dimension dynamic indexing only,
+int32 loop carries (i1 vectors fail scf.for legalization), and numpy (not
+jnp) module constants so nothing is captured as a traced value. Correctness
+is pinned against the XLA walk in tests/test_pallas_walk.py.
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 import jax
@@ -31,28 +33,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-EPSILON = np.float32(1e-5)  # plain numpy: a jnp scalar would be captured as a traced constant
-TILE = 512  # rays per grid step
+EPSILON = np.float32(1e-5)  # numpy: a jnp scalar would be captured as a constant
+SUPER = 64  # clusters per super-cluster
+TILE = 512  # rays per tile
+_FAR = np.float32(1e30)  # padded-cluster AABB plane: slab test always misses
 
 
-def _slab_entry_rows(aabb_min_ref, aabb_max_ref, ox, oy, oz, ix, iy, iz, tmax):
-    """(C, TILE) entry distances; +inf where the slab test fails.
+def _slab_entry_rows(mins, maxs, ox, oy, oz, ix, iy, iz, tmax):
+    """(rows, TILE) entry distances; +inf where the slab test fails.
 
-    Same accept set as ray_intersection.cpp:101-136.
+    mins/maxs: (3, rows). Mirrors render/wavefront._slab_entry (and
+    ray_intersection.cpp:101-136) exactly, including NaN comparison semantics
+    for axis-parallel rays.
     """
-    # Mirrors render/wavefront._slab_entry (and ray_intersection.cpp:101-136)
-    # exactly, including its NaN comparison semantics for axis-parallel rays.
-    def axis_ts(mins, maxs, o, inv):
+
+    def axis_ts(lo, hi, o, inv):
         neg = inv < 0.0
-        near_b = jnp.where(neg[None, :], maxs[:, None], mins[:, None])
-        far_b = jnp.where(neg[None, :], mins[:, None], maxs[:, None])
+        near_b = jnp.where(neg[None, :], hi[:, None], lo[:, None])
+        far_b = jnp.where(neg[None, :], lo[:, None], hi[:, None])
         t0 = (near_b - o[None, :]) * inv[None, :]
         t1 = (far_b - o[None, :]) * inv[None, :]
         return t0, t1
 
-    t0x, t1x = axis_ts(aabb_min_ref[0, :], aabb_max_ref[0, :], ox, ix)
-    t0y, t1y = axis_ts(aabb_min_ref[1, :], aabb_max_ref[1, :], oy, iy)
-    t0z, t1z = axis_ts(aabb_min_ref[2, :], aabb_max_ref[2, :], oz, iz)
+    t0x, t1x = axis_ts(mins[0, :], maxs[0, :], ox, ix)
+    t0y, t1y = axis_ts(mins[1, :], maxs[1, :], oy, iy)
+    t0z, t1z = axis_ts(mins[2, :], maxs[2, :], oz, iz)
 
     tmin_xy = jnp.maximum(t0x, t0y)
     tmax_xy = jnp.minimum(t1x, t1y)
@@ -80,7 +85,6 @@ def _mt_block(v, ox, oy, oz, dx, dy, dz, t_bound):
     e2z = v[8][None, :] - v0z
 
     dxc, dyc, dzc = dx[:, None], dy[:, None], dz[:, None]
-    # h = d x e2
     hx = dyc * e2z - dzc * e2y
     hy = dzc * e2x - dxc * e2z
     hz = dxc * e2y - dyc * e2x
@@ -91,7 +95,6 @@ def _mt_block(v, ox, oy, oz, dx, dy, dz, t_bound):
     sy = oy[:, None] - v0y
     sz = oz[:, None] - v0z
     u = inv_det * (sx * hx + sy * hy + sz * hz)
-    # q = s x e1
     qx = sy * e1z - sz * e1y
     qy = sz * e1x - sx * e1z
     qz = sx * e1y - sy * e1x
@@ -110,82 +113,107 @@ def _mt_block(v, ox, oy, oz, dx, dy, dz, t_bound):
     return t_best, slot.astype(jnp.int32)
 
 
-def _closest_kernel(
-    o_ref, d_ref, tmax_ref, aabb_min_ref, aabb_max_ref, table_ref,
-    t_out_ref, tri_out_ref, entry_scratch,
-):
-    num_clusters, _, leaf = table_ref.shape
-
+def _ray_regs(o_ref, d_ref, tmax_ref):
     ox, oy, oz = o_ref[0, 0, :], o_ref[0, 1, :], o_ref[0, 2, :]
     dx, dy, dz = d_ref[0, 0, :], d_ref[0, 1, :], d_ref[0, 2, :]
     tmax = tmax_ref[0, 0, :]
-    ix = jnp.float32(1.0) / dx
-    iy = jnp.float32(1.0) / dy
-    iz = jnp.float32(1.0) / dz
-
-    entry_scratch[:, :] = _slab_entry_rows(
-        aabb_min_ref, aabb_max_ref, ox, oy, oz, ix, iy, iz, tmax
-    )
-
-    def body(c, carry):
-        best_t, best_tri = carry
-        e = entry_scratch[c, :]
-        need = e < best_t
-
-        def test(_):
-            v = table_ref[c]  # (9, L)
-            t_cand, slot = _mt_block(v, ox, oy, oz, dx, dy, dz, best_t)
-            better = need & (t_cand < best_t)
-            new_t = jnp.where(better, t_cand, best_t)
-            new_tri = jnp.where(better, c * leaf + slot, best_tri)
-            return new_t, new_tri
-
-        return jax.lax.cond(jnp.any(need), test, lambda _: (best_t, best_tri), None)
-
-    best_t, best_tri = jax.lax.fori_loop(
-        0,
-        num_clusters,
-        body,
-        (tmax, jnp.full((tmax.shape[0],), -1, jnp.int32)),
-    )
-    t_out_ref[0, 0, :] = best_t
-    tri_out_ref[0, 0, :] = best_tri
+    inv = (jnp.float32(1.0) / dx, jnp.float32(1.0) / dy, jnp.float32(1.0) / dz)
+    return (ox, oy, oz), (dx, dy, dz), inv, tmax
 
 
-def _any_kernel(
-    o_ref, d_ref, tmax_ref, aabb_min_ref, aabb_max_ref, table_ref,
-    occ_out_ref, entry_scratch,
-):
-    num_clusters = table_ref.shape[0]
+def _make_closest_kernel(leaf: int):
+    def kernel(
+        o_ref, d_ref, tmax_ref, super_min_ref, super_max_ref,
+        cl_min_ref, cl_max_ref, table_ref,
+        t_out_ref, tri_out_ref, super_entry, cl_entry,
+    ):
+        s = pl.program_id(1)
+        (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
+            o_ref, d_ref, tmax_ref
+        )
 
-    ox, oy, oz = o_ref[0, 0, :], o_ref[0, 1, :], o_ref[0, 2, :]
-    dx, dy, dz = d_ref[0, 0, :], d_ref[0, 1, :], d_ref[0, 2, :]
-    tmax = tmax_ref[0, 0, :]
-    ix = jnp.float32(1.0) / dx
-    iy = jnp.float32(1.0) / dy
-    iz = jnp.float32(1.0) / dz
+        # First super of a tile: compute all super entries, init outputs.
+        @pl.when(s == 0)
+        def _():
+            super_entry[:, :] = _slab_entry_rows(
+                super_min_ref[:, :], super_max_ref[:, :], ox, oy, oz, ix, iy, iz, tmax
+            )
+            t_out_ref[0, 0, :] = tmax
+            tri_out_ref[0, 0, :] = jnp.full((tmax.shape[0],), -1, jnp.int32)
 
-    entry_scratch[:, :] = _slab_entry_rows(
-        aabb_min_ref, aabb_max_ref, ox, oy, oz, ix, iy, iz, tmax
-    )
+        best_t = t_out_ref[0, 0, :]
+        se = super_entry[s, :]
 
-    # The carry is int32, not bool: Mosaic cannot legalize i1-vector loop
-    # carries (scf.for legalization failure).
-    def body(c, occluded):
-        e = entry_scratch[c, :]
-        need = jnp.isfinite(e) & (occluded == 0)
+        @pl.when(jnp.any(se < best_t))
+        def _():
+            cl_entry[:, :] = _slab_entry_rows(
+                cl_min_ref[0], cl_max_ref[0], ox, oy, oz, ix, iy, iz, tmax
+            )
 
-        def test(_):
-            v = table_ref[c]
-            t_cand, _ = _mt_block(v, ox, oy, oz, dx, dy, dz, tmax)
-            return jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occluded)
+            def cluster_body(j, carry):
+                bt, btri = carry
+                need = cl_entry[j, :] < bt
 
-        return jax.lax.cond(jnp.any(need), test, lambda _: occluded, None)
+                def test(_):
+                    v = table_ref[0, j]  # (9, L)
+                    t_cand, slot = _mt_block(v, ox, oy, oz, dx, dy, dz, bt)
+                    better = need & (t_cand < bt)
+                    tri = (s * SUPER + j) * leaf + slot
+                    return jnp.where(better, t_cand, bt), jnp.where(better, tri, btri)
 
-    occluded = jax.lax.fori_loop(
-        0, num_clusters, body, jnp.zeros((tmax.shape[0],), jnp.int32)
-    )
-    occ_out_ref[0, 0, :] = occluded
+                return jax.lax.cond(jnp.any(need), test, lambda _: (bt, btri), None)
+
+            new_t, new_tri = jax.lax.fori_loop(
+                0, SUPER, cluster_body, (best_t, tri_out_ref[0, 0, :])
+            )
+            t_out_ref[0, 0, :] = new_t
+            tri_out_ref[0, 0, :] = new_tri
+
+    return kernel
+
+
+def _make_any_kernel(leaf: int):
+    def kernel(
+        o_ref, d_ref, tmax_ref, super_min_ref, super_max_ref,
+        cl_min_ref, cl_max_ref, table_ref,
+        occ_out_ref, super_entry, cl_entry,
+    ):
+        s = pl.program_id(1)
+        (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
+            o_ref, d_ref, tmax_ref
+        )
+
+        @pl.when(s == 0)
+        def _():
+            super_entry[:, :] = _slab_entry_rows(
+                super_min_ref[:, :], super_max_ref[:, :], ox, oy, oz, ix, iy, iz, tmax
+            )
+            occ_out_ref[0, 0, :] = jnp.zeros((tmax.shape[0],), jnp.int32)
+
+        occluded = occ_out_ref[0, 0, :]
+        se = super_entry[s, :]
+        active = jnp.isfinite(se) & (occluded == 0)
+
+        @pl.when(jnp.any(active))
+        def _():
+            cl_entry[:, :] = _slab_entry_rows(
+                cl_min_ref[0], cl_max_ref[0], ox, oy, oz, ix, iy, iz, tmax
+            )
+
+            # int32 occlusion carry: Mosaic cannot legalize i1-vector carries.
+            def cluster_body(j, occ):
+                need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
+
+                def test(_):
+                    v = table_ref[0, j]
+                    t_cand, _ = _mt_block(v, ox, oy, oz, dx, dy, dz, tmax)
+                    return jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
+
+                return jax.lax.cond(jnp.any(need), test, lambda _: occ, None)
+
+            occ_out_ref[0, 0, :] = jax.lax.fori_loop(0, SUPER, cluster_body, occluded)
+
+    return kernel
 
 
 def _prep_rays(origin, direction, t_max):
@@ -207,13 +235,29 @@ def _prep_rays(origin, direction, t_max):
 
 
 def _scene_tables(scene):
-    """Cluster table as (C, 9, L) + AABB planes as (3, C)."""
-    table = scene.cluster_tris.reshape(
-        scene.cluster_tris.shape[0], scene.cluster_tris.shape[1], 9
-    ).transpose(0, 2, 1)
-    aabb_min = scene.cluster_min.T
-    aabb_max = scene.cluster_max.T
-    return table, aabb_min, aabb_max
+    """Pad clusters to a SUPER multiple; emit the kernel layouts:
+    table (S, SUPER, 9, L), super planes (3, S), cluster planes (S, 3, SUPER)."""
+    num_clusters, leaf = scene.cluster_tris.shape[:2]
+    num_supers = -(-num_clusters // SUPER)
+    pad = num_supers * SUPER - num_clusters
+
+    table = scene.cluster_tris.reshape(num_clusters, leaf, 9).transpose(0, 2, 1)
+    cl_min = scene.cluster_min
+    cl_max = scene.cluster_max
+    if pad:
+        table = jnp.concatenate([table, jnp.zeros((pad, 9, leaf), jnp.float32)], axis=0)
+        # Far-away degenerate boxes: the slab test can never accept them.
+        cl_min = jnp.concatenate([cl_min, jnp.full((pad, 3), _FAR)], axis=0)
+        cl_max = jnp.concatenate([cl_max, jnp.full((pad, 3), _FAR)], axis=0)
+
+    table = table.reshape(num_supers, SUPER, 9, leaf)
+    groups_min = cl_min.reshape(num_supers, SUPER, 3)
+    groups_max = cl_max.reshape(num_supers, SUPER, 3)
+    super_min = jnp.min(groups_min, axis=1).T  # (3, S)
+    super_max = jnp.max(groups_max, axis=1).T
+    cl_min_rows = groups_min.transpose(0, 2, 1)  # (S, 3, SUPER)
+    cl_max_rows = groups_max.transpose(0, 2, 1)
+    return table, super_min, super_max, cl_min_rows, cl_max_rows
 
 
 def _interpret() -> bool:
@@ -221,38 +265,54 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
+    leaf = scene.cluster_tris.shape[1]
+    num_rays = origin.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
+
+    o, d, tm, tiles, n = _prep_rays(origin, direction, t_max)
+    table, super_min, super_max, cl_min_rows, cl_max_rows = _scene_tables(scene)
+    num_supers = table.shape[0]
+
+    def full(shape):
+        zeros = tuple(0 for _ in shape)
+        return pl.BlockSpec(shape, lambda i, s, z=zeros: z, memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel_factory(leaf),
+        grid=(tiles, num_supers),
+        in_specs=[
+            pl.BlockSpec((1, 3, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            full(super_min.shape),
+            full(super_max.shape),
+            pl.BlockSpec((1, 3, SUPER), lambda i, s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, SUPER), lambda i, s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, SUPER, 9, leaf), lambda i, s: (s, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
+            for _ in out_dtypes
+        ],
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), dt) for dt in out_dtypes],
+        scratch_shapes=[
+            pltpu.VMEM((num_supers, TILE), jnp.float32),
+            pltpu.VMEM((SUPER, TILE), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(o, d, tm, super_min, super_max, cl_min_rows, cl_max_rows, table)
+    return outs, n, t_max
+
+
 @jax.jit
 def pallas_intersect_closest(scene, origin, direction, t_max):
     """Closest-hit sweep. Returns (hit, t, tri_idx) — tri in real indices."""
-    num_rays = origin.shape[0]
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
-    o, d, tm, tiles, n = _prep_rays(origin, direction, t_max)
-    table, aabb_min, aabb_max = _scene_tables(scene)
-    num_clusters = table.shape[0]
-
-    t_out, tri_out = pl.pallas_call(
-        _closest_kernel,
-        grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(aabb_min.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(aabb_max.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(table.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((num_clusters, TILE), jnp.float32)],
-        interpret=_interpret(),
-    )(o, d, tm, aabb_min, aabb_max, table)
-
+    (t_out, tri_out), n, t_max = _common_call(
+        scene, origin, direction, t_max, _make_closest_kernel, (jnp.float32, jnp.int32)
+    )
     t = t_out.reshape(-1)[:n]
     tri_padded = tri_out.reshape(-1)[:n]
     hit = tri_padded >= 0
@@ -263,29 +323,7 @@ def pallas_intersect_closest(scene, origin, direction, t_max):
 @jax.jit
 def pallas_intersect_any(scene, origin, direction, t_max):
     """Any-hit sweep. Returns occluded (B,) bool."""
-    num_rays = origin.shape[0]
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
-    o, d, tm, tiles, n = _prep_rays(origin, direction, t_max)
-    table, aabb_min, aabb_max = _scene_tables(scene)
-    num_clusters = table.shape[0]
-
-    occ = pl.pallas_call(
-        _any_kernel,
-        grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(aabb_min.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(aabb_max.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(table.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((num_clusters, TILE), jnp.float32)],
-        interpret=_interpret(),
-    )(o, d, tm, aabb_min, aabb_max, table)[0]
-
+    (occ,), n, _ = _common_call(
+        scene, origin, direction, t_max, _make_any_kernel, (jnp.int32,)
+    )
     return occ.reshape(-1)[:n] > 0

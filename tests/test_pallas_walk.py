@@ -50,3 +50,34 @@ def test_pallas_any_matches_wavefront(duck_device_scene, rays):
     po = pallas_intersect_any(duck_device_scene, o, d, t_max)
     wo, _ = intersect_any_wavefront(duck_device_scene, o, d, t_max)
     np.testing.assert_array_equal(np.asarray(po), np.asarray(wo))
+
+
+def test_pallas_multi_super_scene():
+    """A scene spanning several super-clusters (the grid's second dimension)
+    must agree with the XLA walk — exercises output-block accumulation
+    across grid steps."""
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+
+    flat, textures = courtyard_scene(4)  # ~6K tris -> 2 super-clusters
+    scene = build_device_scene(flat, textures=textures)
+    assert scene.cluster_tris.shape[0] > 64  # spans >1 super
+
+    rng = np.random.default_rng(3)
+    n = 128
+    o = rng.uniform([-18, 1, -8], [18, 10, 8], size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = jnp.float32(1e4)
+
+    ph, pt, ptri = pallas_intersect_closest(scene, jnp.asarray(o), jnp.asarray(d), t_max)
+    wh, wt, wtri, _ = intersect_closest_wavefront(scene, jnp.asarray(o), jnp.asarray(d), t_max)
+    np.testing.assert_array_equal(np.asarray(ph), np.asarray(wh))
+    both = np.asarray(ph)
+    np.testing.assert_allclose(
+        np.asarray(pt)[both], np.asarray(wt)[both], rtol=2e-6, atol=1e-6
+    )
+
+    po = pallas_intersect_any(scene, jnp.asarray(o), jnp.asarray(d), t_max)
+    wo, _ = intersect_any_wavefront(scene, jnp.asarray(o), jnp.asarray(d), t_max)
+    np.testing.assert_array_equal(np.asarray(po), np.asarray(wo))
