@@ -133,7 +133,14 @@ def trace_radiance(
     sun_dir = jnp.asarray(sky.sun_direction)
     solar_radiance = jnp.asarray(sky.solar_radiances)
 
+    # Terminated lanes get parked far outside every cluster AABB so their
+    # tiles skip all traversal work (the engines prune whole supers when no
+    # lane needs them) instead of re-tracing dead rays each bounce.
+    park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
+
     for bounce in range(1, num_bounces + 1):
+        if bounce > 1:
+            origin = jnp.where(alive[:, None], origin, park)
         hit, _, tri_idx, _ = closest(scene, origin, direction, T_MAX)
         hit_lane = alive & hit
         miss_lane = alive & ~hit
@@ -155,7 +162,10 @@ def trace_radiance(
         brdf = albedo * FRAC_1_PI
         # No clamp on the cosine — parity with wgsl:201.
         cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
-        occluded = any_hit(scene, p, jnp.broadcast_to(light_dir, p.shape), T_MAX)
+        shadow_origin = jnp.where(hit_lane[:, None], p, park)
+        occluded = any_hit(
+            scene, shadow_origin, jnp.broadcast_to(light_dir, p.shape), T_MAX
+        )
         visibility = jnp.where(occluded, jnp.float32(0.0), jnp.float32(1.0))[:, None]
         contrib = throughput * solar_radiance * brdf * cos_term * visibility * SOLAR_INV_PDF
         radiance = jnp.where(hit_lane[:, None], radiance + contrib, radiance)
