@@ -144,3 +144,29 @@ class Renderer:
         estimator = self._accum / jnp.float32(count)
         img = tonemap(estimator, p.exposure)
         return np.asarray(img).reshape(p.height, p.width, 3)
+
+    # -- checkpoint / resume (beyond the reference, whose only persistence is
+    # the .pt scene cache — SURVEY.md §5.4; render state lived in GPU memory
+    # and was lost on any parameter change) ---------------------------------
+
+    def save_checkpoint(self, path) -> None:
+        """Persist the progressive accumulation so a render can resume
+        across processes/preemptions."""
+        np.savez_compressed(
+            path,
+            accum=np.asarray(self._accum),
+            accumulated_sample_count=self.accumulated_sample_count,
+            frame_count=self.frame_count,
+            params_key=np.asarray(hash(self._params._key()), dtype=np.int64),
+        )
+
+    def load_checkpoint(self, path) -> None:
+        """Resume from a checkpoint; refuses on mismatched render params."""
+        with np.load(path) as data:
+            if int(data["params_key"]) != hash(self._params._key()):
+                raise ValueError(
+                    "checkpoint was created with different render parameters"
+                )
+            self._accum = jnp.asarray(data["accum"])
+            self.accumulated_sample_count = int(data["accumulated_sample_count"])
+            self.frame_count = int(data["frame_count"])

@@ -1,0 +1,78 @@
+"""Golden-image regression tests.
+
+The reference validates its renderers by eye against showcase images
+(SURVEY.md §4); here the three visual tools are pinned against committed
+goldens with an RMSE budget (regenerate with the bake snippet in the test
+docstrings if behavior intentionally changes).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from rayfinder_tpu.utils.image import read_png, rmse
+
+GOLDENS = pathlib.Path(__file__).parent / "goldens"
+
+
+def _golden(name):
+    return read_png(GOLDENS / name).astype(np.float32) / 255.0
+
+
+def test_duck_render_matches_golden(duck_device_scene):
+    """Duck 64x48 @ 2spp/2bounce, reference engine, deterministic noise."""
+    from rayfinder_tpu.render.camera import create_camera
+    from rayfinder_tpu.render.pathtracer import SamplingParams, render_image
+    from rayfinder_tpu.sky.model import sky_state_from_ui
+
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 64 / 48)
+    sky = sky_state_from_ui(1.0, (1, 1, 1), 30.0, 0.0)
+    img = render_image(
+        duck_device_scene,
+        sky,
+        cam,
+        width=64,
+        height=48,
+        sampling=SamplingParams(2, 2),
+        exposure=0.25,
+        engine="reference",
+    )
+    assert rmse(img, _golden("duck_64x48_2spp.png")) < 5e-3
+
+
+def test_duck_render_pallas_close_to_golden(duck_device_scene):
+    """The pallas engine must land within a hair of the reference engine
+    (identical sampling; only last-ulp t differences)."""
+    from rayfinder_tpu.render.camera import create_camera
+    from rayfinder_tpu.render.pathtracer import SamplingParams, render_image
+    from rayfinder_tpu.sky.model import sky_state_from_ui
+
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 64 / 48)
+    sky = sky_state_from_ui(1.0, (1, 1, 1), 30.0, 0.0)
+    img = render_image(
+        duck_device_scene,
+        sky,
+        cam,
+        width=64,
+        height=48,
+        sampling=SamplingParams(2, 2),
+        exposure=0.25,
+        engine="pallas",
+    )
+    assert rmse(img, _golden("duck_64x48_2spp.png")) < 1e-2
+
+
+def test_sky_dome_matches_golden():
+    from rayfinder_tpu.tools.sky_demo import render_sky_dome
+
+    dome = render_sky_dome(size=64)
+    assert rmse(dome, _golden("sky_dome_64.png")) < 5e-3
+
+
+def test_bvh_heatmap_matches_golden():
+    """Node-visit counts are integers: the heatmap must match exactly."""
+    from rayfinder_tpu.tools.bvh_visualizer import visualize
+
+    heat = visualize("/root/reference/assets/Duck.glb", width=64, height=48)
+    np.testing.assert_array_equal(heat, read_png(GOLDENS / "bvh_heatmap_64x48.png"))

@@ -93,3 +93,23 @@ def test_deferred_sky_includes_sun(duck_device_scene):
     # The center pixel looks into the solar disk: radiance must include the
     # huge constant solar term (~1e5), not just the sky dome (~1e1).
     assert sample.max() > 1e4
+
+
+def test_checkpoint_roundtrip(duck_device_scene, params, tmp_path):
+    r = Renderer(duck_device_scene, params, engine="reference")
+    r.render(num_frames=2)
+    ckpt = tmp_path / "render.ckpt.npz"
+    r.save_checkpoint(ckpt)
+    img_before = r.image()
+
+    r2 = Renderer(duck_device_scene, params, engine="reference")
+    r2.load_checkpoint(ckpt)
+    assert r2.accumulated_sample_count == 2
+    assert r2.frame_count == 2
+    np.testing.assert_array_equal(r2.image(), img_before)
+
+    # Mismatched params must refuse to resume.
+    import dataclasses as dc
+    r3 = Renderer(duck_device_scene, dc.replace(params, exposure=0.5), engine="reference")
+    with pytest.raises(ValueError, match="different render parameters"):
+        r3.load_checkpoint(ckpt)
