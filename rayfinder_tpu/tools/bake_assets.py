@@ -27,11 +27,11 @@ import re
 
 import numpy as np
 
-_FLOAT_RE = re.compile(r"[-+]?\d+\.\d+(?:[eE][-+]?\d+)?f?")
+_FLOAT_RE = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?f?")
 _INT_RE = re.compile(r"\b\d+\b")
 
 
-def _floats_from_c_array(path: pathlib.Path, name: str) -> np.ndarray:
+def _floats_from_c_array(path: pathlib.Path, name: str, dtype=np.float32) -> np.ndarray:
     """Extract the float literals of `const float <name>[] = {...};`."""
     text = path.read_text()
     start = text.index(name)
@@ -39,7 +39,7 @@ def _floats_from_c_array(path: pathlib.Path, name: str) -> np.ndarray:
     close_brace = text.index("};", open_brace)
     body = text[open_brace:close_brace]
     vals = [float(tok.rstrip("f")) for tok in _FLOAT_RE.findall(body)]
-    return np.asarray(vals, dtype=np.float32)
+    return np.asarray(vals, dtype=dtype)
 
 
 def _ints_from_c_array(path: pathlib.Path, name: str) -> np.ndarray:
@@ -85,6 +85,35 @@ def bake_blue_noise(reference: pathlib.Path, out: pathlib.Path) -> None:
     print(f"wrote {out} ({out.stat().st_size} bytes)")
 
 
+def bake_solar_spectral(reference: pathlib.Path, out: pathlib.Path) -> None:
+    """Spectral solar-disk datasets from the upstream Hosek-Wilkie model
+    (ArHosekSkyModelData_Spectral.h): per wavelength band (320..720nm, 11
+    bands) a piecewise-polynomial table of order(4) x pieces(45) x
+    turbidity(10) doubles, plus 6 limb-darkening coefficients per band.
+    Only these (not the full sky-dome spectral datasets) are needed by the
+    sun integrator (hw-sunmodel-integrator/main.cpp:146-153)."""
+    src = reference / "src" / "hosekwilkie-skylightmodel-source-1.4a"
+    path = src / "ArHosekSkyModelData_Spectral.h"
+    wavelengths = list(range(320, 721, 40))
+
+    solar = np.stack(
+        [
+            _floats_from_c_array(path, f"solarDataset{wl}[]", np.float64)
+            for wl in wavelengths
+        ]
+    )
+    assert solar.shape == (11, 10 * 45 * 4), solar.shape
+    limb = np.stack(
+        [
+            _floats_from_c_array(path, f"limbDarkeningDataset{wl}[]", np.float64)
+            for wl in wavelengths
+        ]
+    )
+    assert limb.shape == (11, 6), limb.shape
+    np.savez_compressed(out, solar=solar.astype(np.float64), limb=limb.astype(np.float64))
+    print(f"wrote {out} ({out.stat().st_size} bytes)")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--reference", type=pathlib.Path, default=pathlib.Path("/root/reference"))
@@ -94,6 +123,7 @@ def main() -> None:
     assets.mkdir(parents=True, exist_ok=True)
     bake_sky_tables(args.reference, assets / "sky_tables.npz")
     bake_blue_noise(args.reference, assets / "blue_noise.npz")
+    bake_solar_spectral(args.reference, assets / "solar_spectral.npz")
 
 
 if __name__ == "__main__":
