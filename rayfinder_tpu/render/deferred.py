@@ -212,12 +212,18 @@ class DeferredRenderer:
     deferred_renderer.hpp:73-75, deferred_renderer.cpp:2055-2060)."""
 
     def __init__(self, scene: DeviceScene, width: int, height: int, engine: str = "pallas"):
+        import collections
+
         self.scene = scene
         self.width = width
         self.height = height
         self.engine = engine
         self.frame_count = 0
         self.accum = jnp.zeros((height * width, 3), jnp.float32)
+        # 30-frame rolling per-pass durations (deferred_renderer.cpp:2031-2053)
+        self._pass_durations = {
+            name: collections.deque(maxlen=30) for name in ("gbuffer", "lighting", "resolve")
+        }
 
     def resize(self, width: int, height: int) -> None:
         self.width = width
@@ -229,16 +235,34 @@ class DeferredRenderer:
         self.accum = jnp.zeros((self.height * self.width, 3), jnp.float32)
 
     def render(self, camera: Camera, sky: SkyState, exposure: float = 1.0) -> np.ndarray:
+        import time
+
         fc = jnp.int32(self.frame_count)
+        t0 = time.time()
         gbuf = gbuffer_pass(
             self.scene, camera, fc, width=self.width, height=self.height, engine=self.engine
         )
+        t1 = time.time()
         sample = lighting_pass(
             self.scene, sky, gbuf, fc, width=self.width, height=self.height, engine=self.engine
         )
+        t2 = time.time()
         self.accum, img = resolve_pass(sample, self.accum, fc, jnp.float32(exposure))
+        out = np.asarray(img).reshape(self.height, self.width, 3)
+        t3 = time.time()
+        self._pass_durations["gbuffer"].append(t1 - t0)
+        self._pass_durations["lighting"].append(t2 - t1)
+        self._pass_durations["resolve"].append(t3 - t2)
         self.frame_count += 1
-        return np.asarray(img).reshape(self.height, self.width, 3)
+        return out
+
+    def perf_stats(self) -> dict:
+        """30-frame rolling average per-pass durations in ms
+        (DeferredRenderer::getPerfStats, deferred_renderer.cpp:2031-2053)."""
+        return {
+            name: (1000.0 * sum(d) / len(d) if d else 0.0)
+            for name, d in self._pass_durations.items()
+        }
 
     def render_debug(self, camera: Camera) -> np.ndarray:
         """G-buffer triptych: albedo | encoded normal | depth

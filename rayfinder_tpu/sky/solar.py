@@ -137,6 +137,91 @@ XYZ_TO_SRGB = np.asarray(
 )
 
 
+class SpectralSkyState:
+    """arhosekskymodelstate_alloc_init analog (ArHosekSkyModel.c:312-341):
+    cooked per-wavelength-band Perez configurations + radiance scales.
+
+    The cooking is the same quintic Bézier over solar elevation with bilinear
+    albedo/turbidity blending as the runtime RGB fit
+    (ArHosekSkyModel_CookConfiguration, mirrored by hw_skymodel.c:64-125) —
+    evaluated in float64 over the upstream spectral datasets.
+    """
+
+    def __init__(self, solar_elevation: float, turbidity: float, albedo: float):
+        with np.load(_ASSETS / "solar_spectral.npz") as data:
+            sky = data["sky"]  # (11, 2, 10, 6, 9)
+            sky_rad = data["sky_rad"]  # (11, 2, 10, 6)
+
+        self.turbidity = float(turbidity)
+        self.solar_radius = TERRESTRIAL_SOLAR_RADIUS
+
+        t = (solar_elevation / (np.pi / 2.0)) ** (1.0 / 3.0)
+        it = 1.0 - t
+        w = np.asarray(
+            [it**5, 5 * it**4 * t, 10 * it**3 * t**2, 10 * it**2 * t**3, 5 * it * t**4, t**5],
+            np.float64,
+        )
+        int_turb = int(turbidity)
+        rem = turbidity - int_turb
+        lo = int_turb - 1
+        hi = min(int_turb, 9)
+        s = np.asarray(
+            [(1 - albedo) * (1 - rem), albedo * (1 - rem), (1 - albedo) * rem, albedo * rem],
+            np.float64,
+        )
+        corners = np.stack(
+            [sky[:, 0, lo], sky[:, 1, lo], sky[:, 0, hi], sky[:, 1, hi]], axis=1
+        )  # (11, 4, 6, 9)
+        self.configs = np.einsum("c,k,wckp->wp", s, w, corners)  # (11, 9)
+        rad_corners = np.stack(
+            [sky_rad[:, 0, lo], sky_rad[:, 1, lo], sky_rad[:, 0, hi], sky_rad[:, 1, hi]],
+            axis=1,
+        )  # (11, 4, 6)
+        self.radiances = np.einsum("c,k,wck->w", s, w, rad_corners)  # (11,)
+
+    def skydome_radiance(self, theta: float, gamma: float, wavelength: float) -> float:
+        """arhosekskymodel_skydome_radiance (ArHosekSkyModel.c:443-473)."""
+        low_wl = int((wavelength - 320.0) / 40.0)
+        if low_wl < 0 or low_wl >= 11:
+            return 0.0
+        interp = np.fmod((wavelength - 320.0) / 40.0, 1.0)
+
+        def eval_band(band):
+            c = self.configs[band]
+            exp_m = np.exp(c[4] * gamma)
+            ray_m = np.cos(gamma) ** 2
+            mie_m = (1.0 + np.cos(gamma) ** 2) / (
+                1.0 + c[8] * c[8] - 2.0 * c[8] * np.cos(gamma)
+            ) ** 1.5
+            zenith = np.sqrt(np.cos(theta))
+            return (
+                (1.0 + c[0] * np.exp(c[1] / (np.cos(theta) + 0.01)))
+                * (c[2] + c[3] * exp_m + c[5] * ray_m + c[6] * mie_m + c[7] * zenith)
+            ) * self.radiances[band]
+
+        val_low = eval_band(low_wl)
+        if interp < 1e-6:
+            return float(val_low)
+        result = (1.0 - interp) * val_low
+        if low_wl + 1 < 11:
+            result += interp * eval_band(low_wl + 1)
+        return float(result)
+
+    def solar_radiance(self, theta: float, gamma: float, wavelength: float) -> float:
+        """Sky dome + direct solar disk (ArHosekSkyModel.c:473-489):
+        the disk parameterization is gamma / solar_radius."""
+        direct = 0.0
+        if gamma < self.solar_radius:
+            direct = solar_disk_radiance(
+                self.turbidity,
+                gamma,
+                gamma / self.solar_radius,
+                wavelength,
+                self.solar_radius,
+            )
+        return self.skydome_radiance(theta, gamma, wavelength) + direct
+
+
 def spectral_to_srgb(wavelengths: np.ndarray, radiances: np.ndarray) -> np.ndarray:
     """Trapezoid-rule XYZ integration over the sample grid + sRGB conversion
     (hw-sunmodel-integrator/main.cpp:155-186)."""

@@ -37,7 +37,7 @@ def _floats_from_c_array(path: pathlib.Path, name: str, dtype=np.float32) -> np.
     start = text.index(name)
     open_brace = text.index("{", start)
     close_brace = text.index("};", open_brace)
-    body = text[open_brace:close_brace]
+    body = re.sub(r"//[^\n]*", "", text[open_brace:close_brace])
     vals = [float(tok.rstrip("f")) for tok in _FLOAT_RE.findall(body)]
     return np.asarray(vals, dtype=dtype)
 
@@ -103,6 +103,21 @@ def bake_solar_spectral(reference: pathlib.Path, out: pathlib.Path) -> None:
         ]
     )
     assert solar.shape == (11, 10 * 45 * 4), solar.shape
+
+    # Full spectral sky-dome datasets (same [albedo][turbidity][knot][param]
+    # layout as the RGB fit tables; ArHosekSkyModel.c CookConfiguration).
+    sky = np.stack(
+        [
+            _floats_from_c_array(path, f"dataset{wl}[]", np.float64).reshape(2, 10, 6, 9)
+            for wl in wavelengths
+        ]
+    )
+    sky_rad = np.stack(
+        [
+            _floats_from_c_array(path, f"datasetRad{wl}[]", np.float64).reshape(2, 10, 6)
+            for wl in wavelengths
+        ]
+    )
     limb = np.stack(
         [
             _floats_from_c_array(path, f"limbDarkeningDataset{wl}[]", np.float64)
@@ -110,7 +125,13 @@ def bake_solar_spectral(reference: pathlib.Path, out: pathlib.Path) -> None:
         ]
     )
     assert limb.shape == (11, 6), limb.shape
-    np.savez_compressed(out, solar=solar.astype(np.float64), limb=limb.astype(np.float64))
+    np.savez_compressed(
+        out,
+        solar=solar.astype(np.float64),
+        limb=limb.astype(np.float64),
+        sky=sky,
+        sky_rad=sky_rad,
+    )
     print(f"wrote {out} ({out.stat().st_size} bytes)")
 
 

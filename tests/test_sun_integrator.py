@@ -47,3 +47,40 @@ def test_flat_spectrum_is_nearly_white():
     rgb = spectral_to_srgb(WAVELENGTHS, np.ones(len(WAVELENGTHS)))
     assert rgb.min() > 0
     assert rgb.max() / rgb.min() < 1.6
+
+
+def test_spectral_sky_dome():
+    """Full spectral model (SpectralSkyState): finite, positive over the
+    dome, brighter toward the sun, and its sRGB projection within a loose
+    factor of the runtime RGB fit."""
+    import numpy as np
+    from rayfinder_tpu.sky.solar import SpectralSkyState, spectral_to_srgb, WAVELENGTHS
+    from rayfinder_tpu.sky.model import SkyParams, sky_state_new, sky_radiance_dist
+
+    elev = np.radians(60.0)
+    state = SpectralSkyState(elev, turbidity=3.0, albedo=0.5)
+    assert np.isfinite(state.configs).all() and np.isfinite(state.radiances).all()
+
+    theta = np.radians(40.0)
+    toward, away = 0.1, 2.5
+    rad_toward = [state.skydome_radiance(theta, toward, wl) for wl in WAVELENGTHS]
+    rad_away = [state.skydome_radiance(theta, away, wl) for wl in WAVELENGTHS]
+    assert all(r > 0 for r in rad_toward)
+    assert sum(rad_toward) > sum(rad_away)
+
+    # Inside the solar disk the direct term dominates by orders of magnitude.
+    assert state.solar_radiance(elev, 0.0, 560.0) > 100.0 * state.skydome_radiance(
+        elev, 0.0, 560.0
+    )
+
+    # sRGB projection vs the runtime RGB fit: same ballpark (the RGB fit is
+    # an independent approximation; expect agreement within ~2x).
+    srgb = spectral_to_srgb(
+        WAVELENGTHS, np.asarray([state.skydome_radiance(theta, toward, wl) for wl in WAVELENGTHS])
+    )
+    rgb_fit = sky_state_new(
+        SkyParams(elevation=float(elev), turbidity=3.0, albedo=(0.5, 0.5, 0.5))
+    )
+    fit = np.asarray(sky_radiance_dist(rgb_fit, theta, toward))
+    ratio = srgb / fit
+    assert np.all(ratio > 0.4) and np.all(ratio < 2.5), ratio
