@@ -1,0 +1,183 @@
+"""Cross-validation against the reference's own C implementation.
+
+The reference's hw-skymodel is pure C99 with no dependencies, so the tests
+compile it DIRECTLY from /root/reference and compare outputs numerically
+with the Python port — ground truth, not a port-vs-port check.
+"""
+
+import pathlib
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REFERENCE_SRC = pathlib.Path("/root/reference/src")
+HARNESS = pathlib.Path(__file__).parent / "cross_validation"
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("gcc") is None or not REFERENCE_SRC.exists(),
+    reason="reference sources or gcc unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def sky_dump(tmp_path_factory):
+    out = tmp_path_factory.mktemp("xval") / "sky_dump"
+    subprocess.run(
+        [
+            "gcc",
+            "-O2",
+            "-I",
+            str(REFERENCE_SRC),
+            str(HARNESS / "sky_dump.c"),
+            str(REFERENCE_SRC / "hw-skymodel" / "hw_skymodel.c"),
+            "-lm",
+            "-o",
+            str(out),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize(
+    "elevation,turbidity,albedo",
+    [
+        (np.pi / 3, 1.0, (1.0, 1.0, 1.0)),
+        (np.pi / 6, 4.3, (0.2, 0.5, 0.9)),
+        (0.05, 10.0, (0.0, 0.0, 0.0)),
+        (np.pi / 2, 5.5, (1.0, 0.3, 0.7)),
+        (1.0, 2.7, (0.42, 0.42, 0.42)),
+    ],
+)
+def test_sky_state_matches_reference_c(sky_dump, elevation, turbidity, albedo):
+    from rayfinder_tpu.sky.model import SkyParams, sky_state_new
+
+    result = subprocess.run(
+        [str(sky_dump), f"{elevation!r}", f"{turbidity!r}", *(f"{a!r}" for a in albedo)],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    ref = np.asarray([float(line) for line in result.stdout.split()], np.float64)
+    assert ref.shape == (33,)
+
+    state = sky_state_new(
+        SkyParams(elevation=float(elevation), turbidity=float(turbidity), albedo=albedo)
+    )
+    ours = np.concatenate(
+        [state.params.reshape(-1), state.sky_radiances, state.solar_radiances]
+    ).astype(np.float64)
+
+    # float32 port vs float32 C: agreement to a few ulps relative.
+    np.testing.assert_allclose(ours, ref, rtol=5e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def bvh_dump(tmp_path_factory):
+    out = tmp_path_factory.mktemp("xval") / "bvh_dump"
+    subprocess.run(
+        [
+            "g++", "-O2", "-std=c++20", "-ffp-contract=off",
+            "-I", str(HARNESS / "glm_shim"),
+            "-I", str(REFERENCE_SRC),
+            str(HARNESS / "bvh_dump.cpp"),
+            str(REFERENCE_SRC / "common" / "bvh.cpp"),
+            str(REFERENCE_SRC / "common" / "ray_intersection.cpp"),
+            "-o", str(out),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
+def _run_bvh_dump(binary, tris, rays, tmp_path):
+    import struct
+
+    tf = tmp_path / "tris.bin"
+    with open(tf, "wb") as f:
+        f.write(struct.pack("<q", tris.shape[0]))
+        f.write(np.ascontiguousarray(tris, np.float32).tobytes())
+    rf = tmp_path / "rays.bin"
+    with open(rf, "wb") as f:
+        f.write(struct.pack("<q", rays.shape[0]))
+        f.write(np.ascontiguousarray(rays, np.float32).tobytes())
+    result = subprocess.run(
+        [str(binary), str(tf), str(rf)], check=True, capture_output=True
+    )
+    data = result.stdout
+    off = 0
+    (num_nodes,) = struct.unpack_from("<q", data, off)
+    off += 8
+    rec = np.frombuffer(data, np.uint8, num_nodes * 40, off).reshape(num_nodes, 40)
+    off += num_nodes * 40
+    aabbs = rec[:, :24].copy().view(np.float32).reshape(num_nodes, 6)
+    meta = rec[:, 24:].copy().view(np.uint32).reshape(num_nodes, 4)
+    (num_tris,) = struct.unpack_from("<q", data, off)
+    off += 8
+    tri_indices = np.frombuffer(data, np.int64, num_tris, off).copy()
+    off += num_tris * 8
+    ray_rec = np.frombuffer(data, np.uint8, rays.shape[0] * 9, off).reshape(-1, 9)
+    hit = ray_rec[:, 0].astype(bool)
+    t = ray_rec[:, 1:5].copy().view(np.float32)[:, 0]
+    visited = ray_rec[:, 5:9].copy().view(np.uint32)[:, 0]
+    return aabbs, meta, tri_indices, hit, t, visited
+
+
+def test_bvh_and_traversal_match_reference_cpp(bvh_dump, tmp_path):
+    """Ground truth: the reference's own buildBvh + rayIntersectBvh compiled
+    from /root/reference must agree with our builder (topology) and lockstep
+    traversal (hits, distances, per-ray node-visit counts)."""
+    import jax.numpy as jnp
+
+    from rayfinder_tpu.bvh.native import build_bvh_fast
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.render.traverse import intersect_closest
+    from rayfinder_tpu.scene import FlattenedScene
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    centers = rng.uniform(-5, 5, size=(n, 1, 3))
+    tris = (centers + rng.normal(scale=0.4, size=(n, 3, 3))).astype(np.float32)
+
+    m = 512
+    o = rng.uniform(-8, 8, size=(m, 3)).astype(np.float32)
+    d = rng.normal(size=(m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d], axis=1)
+
+    aabbs, meta, tri_indices, ref_hit, ref_t, ref_visited = _run_bvh_dump(
+        bvh_dump, tris, rays, tmp_path
+    )
+
+    ours = build_bvh_fast(tris)
+    assert ours.num_nodes == aabbs.shape[0]
+    np.testing.assert_array_equal(ours.aabb_min, aabbs[:, :3])
+    np.testing.assert_array_equal(ours.aabb_max, aabbs[:, 3:])
+    np.testing.assert_array_equal(ours.triangles_offset, meta[:, 0])
+    np.testing.assert_array_equal(ours.second_child_offset, meta[:, 1])
+    np.testing.assert_array_equal(ours.triangle_count, meta[:, 2])
+    np.testing.assert_array_equal(ours.split_axis, meta[:, 3])
+    # Traversal: hits, t, and node-visit counts.
+    flat = FlattenedScene(
+        positions=tris,
+        normals=np.zeros_like(tris),
+        tex_coords=np.zeros((n, 3, 2), np.float32),
+        texture_indices=np.zeros(n, np.uint32),
+    )
+    scene = build_device_scene(flat, bvh=ours)
+    hit, t, tri, visited = intersect_closest(
+        scene, jnp.asarray(o), jnp.asarray(d), jnp.float32(np.finfo(np.float32).max)
+    )
+    np.testing.assert_array_equal(np.asarray(hit), ref_hit)
+    both = ref_hit
+    np.testing.assert_allclose(np.asarray(t)[both], ref_t[both], rtol=2e-6, atol=1e-6)
+    # Node-visit counts: gcc and XLA CPU round intersection t differently by
+    # ~1 ulp, which can flip a borderline AABB-vs-tmax test; demand exact
+    # agreement for >=99% of rays and tiny deviations otherwise.
+    diff = np.abs(np.asarray(visited).astype(np.int64) - ref_visited.astype(np.int64))
+    assert (diff == 0).mean() >= 0.99
+    assert diff.max() <= 8
