@@ -21,7 +21,7 @@ import dataclasses
 
 import numpy as np
 
-DEFAULT_LEAF_SIZE = 64
+DEFAULT_LEAF_SIZE = 128
 
 
 @dataclasses.dataclass

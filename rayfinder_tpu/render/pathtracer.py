@@ -208,14 +208,13 @@ def accumulate_sample(
     Pixel mapping matches the reference's fullscreen pass: the fragment at
     image row i (top-left origin) uses v = 1 - (i + 0.5)/H flipped back, i.e.
     ray v = 1 - texCoord.y, plus the blue-noise sub-pixel jitter (wgsl:51-55).
+    The buffer is in block-major pixel order (render/tiling.py).
     """
-    ys, xs = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.int32),
-        jnp.arange(width, dtype=jnp.int32),
-        indexing="ij",
-    )
-    ys = ys.reshape(-1)
-    xs = xs.reshape(-1)
+    from .tiling import block_order
+
+    ys_np, xs_np, _ = block_order(width, height)
+    ys = jnp.asarray(ys_np)
+    xs = jnp.asarray(xs_np)
 
     from .rng import animated_blue_noise
 
@@ -257,16 +256,17 @@ def accumulate_samples(
 ):
     """Add `num_frames` progressive samples in one dispatch via lax.scan —
     the body compiles once and host round-trips are amortized (the axon
-    tunnel costs ~27ms per dispatch)."""
-    from .rng import animated_blue_noise
+    tunnel costs ~27ms per dispatch).
 
-    ys, xs = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.int32),
-        jnp.arange(width, dtype=jnp.int32),
-        indexing="ij",
-    )
-    ys = ys.reshape(-1)
-    xs = xs.reshape(-1)
+    Rays, shading, and the accumulation buffer all live in BLOCK-MAJOR pixel
+    order (render/tiling.py) so each 512-ray traversal tile covers a tight
+    32x16 pixel block; unswizzle once when assembling the image."""
+    from .rng import animated_blue_noise
+    from .tiling import block_order
+
+    ys_np, xs_np, _ = block_order(width, height)
+    ys = jnp.asarray(ys_np)
+    xs = jnp.asarray(xs_np)
     u = (xs.astype(jnp.float32) + 0.5) / jnp.float32(width)
     v_tex = (ys.astype(jnp.float32) + 0.5) / jnp.float32(height)
 
@@ -322,6 +322,8 @@ def render_image(
             engine=engine,
         )
         frame_idx += batch
-    estimator = accum / jnp.float32(spp)
+    from .tiling import unswizzle
+
+    estimator = unswizzle(accum, width, height) / jnp.float32(spp)
     img = tonemap(estimator, exposure)
     return np.asarray(img).reshape(height, width, 3)

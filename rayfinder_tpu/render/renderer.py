@@ -139,9 +139,11 @@ class Renderer:
 
     def image(self) -> np.ndarray:
         """Tonemapped running-mean estimate, (H, W, 3) in [0, 1]."""
+        from .tiling import unswizzle
+
         p = self._params
         count = max(1, self.accumulated_sample_count)
-        estimator = self._accum / jnp.float32(count)
+        estimator = unswizzle(self._accum, p.width, p.height) / jnp.float32(count)
         img = tonemap(estimator, p.exposure)
         return np.asarray(img).reshape(p.height, p.width, 3)
 

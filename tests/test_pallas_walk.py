@@ -59,7 +59,7 @@ def test_pallas_multi_super_scene():
     from rayfinder_tpu.render.scene import build_device_scene
     from rayfinder_tpu.scene.procedural import courtyard_scene
 
-    flat, textures = courtyard_scene(4)  # ~6K tris -> 2 super-clusters
+    flat, textures = courtyard_scene(8)  # ~24K tris -> several super-clusters
     scene = build_device_scene(flat, textures=textures)
     assert scene.cluster_tris.shape[0] > 64  # spans >1 super
 
