@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 EPSILON = np.float32(1e-5)  # numpy: a jnp scalar would be captured as a constant
 SUPER = 64  # clusters per super-cluster
-TILE = 512  # rays per tile
+TILE = 1024  # rays per tile (one 32x32 pixel block)
 _FAR = np.float32(1e30)  # padded-cluster AABB plane: slab test always misses
 
 

@@ -18,7 +18,7 @@ import functools
 import numpy as np
 
 BLOCK_W = 32
-BLOCK_H = 16  # 32 * 16 == 512 == one traversal tile
+BLOCK_H = 32  # 32 * 32 == 1024 == one traversal tile
 
 
 @functools.lru_cache(maxsize=8)
