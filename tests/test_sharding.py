@@ -1,0 +1,56 @@
+"""Multi-chip sharding: the (tiles, samples) mesh render must match the
+single-chip progressive render exactly (same noise sequence per sample)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rayfinder_tpu.parallel.sharding import make_render_mesh, render_image_sharded
+from rayfinder_tpu.render.camera import create_camera
+from rayfinder_tpu.render.pathtracer import SamplingParams, render_image
+from rayfinder_tpu.sky.model import sky_state_from_ui
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_sharded_matches_single_chip(duck_device_scene):
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 4 / 3)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    w, h, spp = 16, 12, 4
+
+    single = render_image(
+        duck_device_scene,
+        sky,
+        cam,
+        width=w,
+        height=h,
+        sampling=SamplingParams(spp, 2),
+        exposure=0.25,
+        engine="reference",
+    )
+
+    mesh = make_render_mesh(jax.devices()[:8], sample_parallel=2)
+    assert mesh.shape == {"tiles": 4, "samples": 2}
+    sharded = render_image_sharded(
+        duck_device_scene,
+        sky,
+        cam,
+        mesh=mesh,
+        width=w,
+        height=h,
+        spp=spp,
+        num_bounces=2,
+        exposure=0.25,
+        engine="reference",
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_shapes():
+    mesh = make_render_mesh(jax.devices()[:8])
+    assert mesh.shape["tiles"] * mesh.shape["samples"] == 8
+    mesh1 = make_render_mesh(jax.devices()[:1])
+    assert mesh1.shape == {"tiles": 1, "samples": 1}
