@@ -115,7 +115,6 @@ def render_step_sharded(
         mesh=mesh,
         in_specs=(P("tiles"), P("tiles"), P("tiles")),
         out_specs=P("tiles"),
-        check_rep=False,
     )(accum, ys, xs)
 
 

@@ -41,18 +41,21 @@ def _traverse(scene: DeviceScene, origin, direction, t_max, any_hit: bool):
     inv_dir = jnp.float32(1.0) / direction
     dir_neg = inv_dir < 0.0
 
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (batch,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (batch,)) + 0.0 * origin[:, 0]
 
+    # Derive initial per-lane state from the (possibly shard_map-varying)
+    # ray arrays so while_loop carry types match under manual sharding.
+    zero_i = (origin[:, 0] * 0.0).astype(jnp.int32)
     state = dict(
-        node=jnp.zeros((batch,), jnp.int32),
-        sp=jnp.zeros((batch,), jnp.int32),
-        stack=jnp.zeros((batch, STACK_DEPTH), jnp.int32),
-        tri_ptr=jnp.zeros((batch,), jnp.int32),
-        tri_end=jnp.zeros((batch,), jnp.int32),
+        node=zero_i,
+        sp=zero_i,
+        stack=jnp.zeros((batch, STACK_DEPTH), jnp.int32) + zero_i[:, None],
+        tri_ptr=zero_i,
+        tri_end=zero_i,
         t_best=t_max,
-        hit_tri=jnp.full((batch,), -1, jnp.int32),
-        done=jnp.zeros((batch,), jnp.bool_),
-        nodes_visited=jnp.zeros((batch,), jnp.int32),
+        hit_tri=zero_i - 1,
+        done=zero_i > 0,
+        nodes_visited=zero_i,
     )
 
     def cond(s):
