@@ -76,3 +76,21 @@ def test_bvh_heatmap_matches_golden():
 
     heat = visualize("/root/reference/assets/Duck.glb", width=64, height=48)
     np.testing.assert_array_equal(heat, read_png(GOLDENS / "bvh_heatmap_64x48.png"))
+
+
+def test_blue_noise_tool_roundtrip(tmp_path):
+    """PNG -> npz baking (the Rust codegen analog) round-trips the tile."""
+    from rayfinder_tpu.render.rng import blue_noise_tile
+    from rayfinder_tpu.tools.blue_noise_tool import bake_png
+    from rayfinder_tpu.utils.image import write_png
+
+    tile = (blue_noise_tile() * 255.0).astype(np.uint8)  # (128, 128, 2)
+    rgba = np.concatenate(
+        [tile, np.zeros_like(tile[..., :1]), np.full_like(tile[..., :1], 255)], axis=-1
+    )
+    png = tmp_path / "noise.png"
+    write_png(png, rgba)
+    out = tmp_path / "noise.npz"
+    bake_png(png, out)
+    with np.load(out) as data:
+        np.testing.assert_array_equal(data["tile"], tile)
