@@ -14,10 +14,8 @@ reorganized for a dense vector machine:
    closer than the next cluster's entry t, the lane is done.
 3. **Walk**: a short `while_loop` over cluster slots; in step m every lane
    intersects its m-th nearest cluster's whole (L, 3, 3) triangle block with
-   dense Möller-Trumbore. Triangle blocks are fetched with a one-hot matmul —
-   the MXU streams the cluster table orders of magnitude faster than an XLA
-   gather, and a one-hot f32 matmul is exact (XLA's bf16x3 decomposition
-   reconstructs 1.0 * v bit-exactly).
+   dense Möller-Trumbore (blocks fetched with chunky row gathers — measured
+   as fast as a one-hot MXU matmul on v5e, and exact).
 4. No scatters anywhere: reductions stay lane-aligned, which keeps both
    compile time and runtime sane on TPU.
 
@@ -39,6 +37,16 @@ from .scene import DeviceScene
 
 RAY_CHUNK = 65536  # rays traversed per chunk (bounds VMEM/HBM temporaries)
 MAX_CLUSTERS_PER_RAY = 32  # top-k capacity per ray
+_MAX_CULL_ENTRIES = 32 * 1024 * 1024  # cap on the (chunk, C) cull grid
+
+
+def _ray_chunk(num_clusters: int) -> int:
+    """Shrink the ray chunk for large scenes so the dense (chunk, C) cull
+    grid stays bounded (~128MB of f32 temporaries)."""
+    chunk = RAY_CHUNK
+    while chunk > 1024 and chunk * num_clusters > _MAX_CULL_ENTRIES:
+        chunk //= 2
+    return chunk
 
 
 def _slab_entry(origin, inv_dir, dir_neg, aabb_min, aabb_max, t_max):
@@ -178,10 +186,10 @@ def _walk_any(scene, origin, direction, t_max, entry, cids):
     return occluded
 
 
-def _pad_rays(origin, direction, t_max):
-    """Pad the ray batch to a RAY_CHUNK multiple with guaranteed-miss rays."""
+def _pad_rays(origin, direction, t_max, chunk: int):
+    """Pad the ray batch to a chunk multiple with guaranteed-miss rays."""
     num_rays = origin.shape[0]
-    padded = -(-num_rays // RAY_CHUNK) * RAY_CHUNK
+    padded = -(-num_rays // chunk) * chunk
     if padded == num_rays:
         return origin, direction, t_max, num_rays
     pad = padded - num_rays
@@ -208,7 +216,8 @@ def intersect_closest_wavefront(
     num_clusters = scene.cluster_tris.shape[0]
     k = min(top_k, num_clusters)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
-    origin, direction, t_max, _ = _pad_rays(origin, direction, t_max)
+    chunk_size = _ray_chunk(num_clusters)
+    origin, direction, t_max, _ = _pad_rays(origin, direction, t_max, chunk_size)
 
     def chunk(args):
         o, d, tm = args
@@ -216,16 +225,16 @@ def intersect_closest_wavefront(
         hit, t, tri = _walk_closest(scene, o, d, tm, entry, cids)
         return hit, t, tri, jnp.sum(overflow.astype(jnp.int32))
 
-    num_chunks = origin.shape[0] // RAY_CHUNK
+    num_chunks = origin.shape[0] // chunk_size
     if num_chunks == 1:
         hit, t, tri, overflow = chunk((origin, direction, t_max))
     else:
         hit, t, tri, overflow = jax.lax.map(
             chunk,
             (
-                origin.reshape(num_chunks, RAY_CHUNK, 3),
-                direction.reshape(num_chunks, RAY_CHUNK, 3),
-                t_max.reshape(num_chunks, RAY_CHUNK),
+                origin.reshape(num_chunks, chunk_size, 3),
+                direction.reshape(num_chunks, chunk_size, 3),
+                t_max.reshape(num_chunks, chunk_size),
             ),
         )
         hit = hit.reshape(-1)
@@ -245,7 +254,8 @@ def intersect_any_wavefront(
     num_clusters = scene.cluster_tris.shape[0]
     k = min(top_k, num_clusters)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
-    origin, direction, t_max, _ = _pad_rays(origin, direction, t_max)
+    chunk_size = _ray_chunk(num_clusters)
+    origin, direction, t_max, _ = _pad_rays(origin, direction, t_max, chunk_size)
 
     def chunk(args):
         o, d, tm = args
@@ -253,16 +263,16 @@ def intersect_any_wavefront(
         occluded = _walk_any(scene, o, d, tm, entry, cids)
         return occluded, jnp.sum(overflow.astype(jnp.int32))
 
-    num_chunks = origin.shape[0] // RAY_CHUNK
+    num_chunks = origin.shape[0] // chunk_size
     if num_chunks == 1:
         occluded, overflow = chunk((origin, direction, t_max))
     else:
         occluded, overflow = jax.lax.map(
             chunk,
             (
-                origin.reshape(num_chunks, RAY_CHUNK, 3),
-                direction.reshape(num_chunks, RAY_CHUNK, 3),
-                t_max.reshape(num_chunks, RAY_CHUNK),
+                origin.reshape(num_chunks, chunk_size, 3),
+                direction.reshape(num_chunks, chunk_size, 3),
+                t_max.reshape(num_chunks, chunk_size),
             ),
         )
         occluded = occluded.reshape(-1)
