@@ -284,6 +284,110 @@ def accumulate_samples(
     return accum
 
 
+@partial(
+    jax.jit,
+    static_argnames=("win_w", "win_h", "width", "height", "num_bounces", "spp", "num_frames", "engine"),
+    donate_argnums=(5,),
+)
+def accumulate_samples_window(
+    scene: DeviceScene,
+    sky: SkyState,
+    camera: Camera,
+    blue_noise_tile,
+    frame_base,
+    accum,
+    x0,
+    y0,
+    *,
+    win_w: int,
+    win_h: int,
+    width: int,
+    height: int,
+    num_bounces: int,
+    spp: int,
+    num_frames: int,
+    engine: str = "pallas",
+):
+    """accumulate_samples over a (win_w, win_h) sub-window at traced offset
+    (x0, y0) of the full framebuffer — one compile serves every tile of a
+    large render (the reference bounds work volume the same way, capping
+    buffers to device limits, reference_path_tracer.cpp:253-263).
+
+    accum: (win_h * win_w, 3) block-ordered for the window."""
+    from .rng import animated_blue_noise
+    from .tiling import block_order
+
+    ys_np, xs_np, _ = block_order(win_w, win_h)
+    ys = jnp.asarray(ys_np) + y0
+    xs = jnp.asarray(xs_np) + x0
+    u = (xs.astype(jnp.float32) + 0.5) / jnp.float32(width)
+    v_tex = (ys.astype(jnp.float32) + 0.5) / jnp.float32(height)
+
+    def body(accum, k):
+        frame_idx = frame_base + k
+        noise = animated_blue_noise(ys, xs, frame_idx, jnp.int32(spp), tile=blue_noise_tile)
+        jitter = noise / jnp.asarray([width, height], jnp.float32)
+        ray_u = u + jitter[:, 0]
+        ray_v = (jnp.float32(1.0) - v_tex) + jitter[:, 1]
+        origin, direction = generate_camera_ray_lens(camera, noise, ray_u, ray_v)
+        sample = trace_radiance(scene, sky, origin, direction, noise, num_bounces, engine)
+        return accum + sample, None
+
+    accum, _ = jax.lax.scan(body, accum, jnp.arange(num_frames, dtype=jnp.int32))
+    return accum
+
+
+def render_image_tiled(
+    scene: DeviceScene,
+    sky: SkyState,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    sampling: SamplingParams = SamplingParams(),
+    exposure: float = 1.0,
+    engine: str = "pallas",
+    tile_w: int = 512,
+    tile_h: int = 512,
+    samples_per_dispatch: int = 8,
+) -> np.ndarray:
+    """Render a large framebuffer window by window. One compiled program per
+    window SHAPE (edge windows reuse the same shape via clamped offsets), so
+    arbitrary resolutions render with bounded per-dispatch device work."""
+    from .rng import blue_noise_tile
+    from .tiling import block_order, unswizzle
+    from .tonemap import tonemap
+
+    tile = jnp.asarray(blue_noise_tile())
+    spp = sampling.num_samples_per_pixel
+    out = np.empty((height, width, 3), np.float32)
+
+    for y0 in range(0, height, tile_h):
+        for x0 in range(0, width, tile_w):
+            # Clamp so edge windows share the interior window shape.
+            wx = min(x0, max(0, width - tile_w))
+            wy = min(y0, max(0, height - tile_h))
+            win_w = min(tile_w, width)
+            win_h = min(tile_h, height)
+
+            accum = jnp.zeros((win_h * win_w, 3), jnp.float32)
+            frame_idx = 0
+            while frame_idx < spp:
+                batch = min(samples_per_dispatch, spp - frame_idx)
+                accum = accumulate_samples_window(
+                    scene, sky, camera, tile,
+                    jnp.int32(frame_idx), accum, jnp.int32(wx), jnp.int32(wy),
+                    win_w=win_w, win_h=win_h, width=width, height=height,
+                    num_bounces=sampling.num_bounces, spp=spp,
+                    num_frames=batch, engine=engine,
+                )
+                frame_idx += batch
+            img = tonemap(unswizzle(accum, win_w, win_h) / jnp.float32(spp), exposure)
+            img = np.asarray(img).reshape(win_h, win_w, 3)
+            out[wy : wy + win_h, wx : wx + win_w] = img
+    return out
+
+
 def render_image(
     scene: DeviceScene,
     sky: SkyState,

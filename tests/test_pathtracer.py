@@ -122,3 +122,20 @@ def test_accumulation_batching_equivalence(duck_device_scene, sky):
         width=w, height=h, num_bounces=2, spp=8, num_frames=3, engine="reference",
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_render_matches_untiled(duck_device_scene, sky):
+    """render_image_tiled must reproduce render_image exactly (same noise per
+    pixel regardless of windowing)."""
+    from rayfinder_tpu.render.pathtracer import (
+        SamplingParams,
+        render_image,
+        render_image_tiled,
+    )
+
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 48 / 32)
+    kwargs = dict(width=48, height=32, sampling=SamplingParams(2, 2),
+                  exposure=0.25, engine="reference")
+    whole = render_image(duck_device_scene, sky, cam, **kwargs)
+    tiled = render_image_tiled(duck_device_scene, sky, cam, tile_w=32, tile_h=32, **kwargs)
+    np.testing.assert_allclose(tiled, whole, rtol=1e-5, atol=1e-6)
