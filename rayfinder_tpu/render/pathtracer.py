@@ -79,7 +79,7 @@ def _surface_interaction(scene: DeviceScene, origin, direction, tri_idx):
     return p_offset, n, uv, tex, t
 
 
-@partial(jax.jit, static_argnames=("num_bounces", "engine"))
+@partial(jax.jit, static_argnames=("num_bounces", "engine", "decorrelate"))
 def trace_radiance(
     scene: DeviceScene,
     sky: SkyState,
@@ -88,12 +88,16 @@ def trace_radiance(
     noise,
     num_bounces: int,
     engine: str = "wavefront",
+    decorrelate: bool = False,
 ):
     """Radiance for a batch of primary rays (rayColor, wgsl:180-234).
 
-    origin/direction: (B, 3); noise: (B, 2) reused across all decisions.
+    origin/direction: (B, 3); noise: (B, 2) reused across all decisions —
+    exactly like the reference, which samples one blue-noise value per pixel
+    per frame (wgsl:52). decorrelate=True rotates the noise by a per-bounce
+    R2 offset instead (lower sample correlation at the cost of exact parity).
     engine: "reference" = lockstep per-ray stack traversal (traverse.py),
-    "wavefront" = cluster cull + blocked intersection (wavefront.py).
+    "wavefront" = XLA cluster walk, "pallas" = Pallas cluster sweep.
     Returns (B, 3) float32 radiance.
     """
     if engine == "pallas":
@@ -137,8 +141,16 @@ def trace_radiance(
     # tiles skip all traversal work (the engines prune whole supers when no
     # lane needs them) instead of re-tracing dead rays each bounce.
     park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
+    base_noise = noise
 
     for bounce in range(1, num_bounces + 1):
+        if decorrelate and bounce > 1:
+            # Rotate the pixel's noise point by the R2 sequence per bounce.
+            shift = np.float32(0.7548776662466927) * bounce, np.float32(
+                0.5698402909980532
+            ) * bounce
+            noise = base_noise + jnp.asarray(shift, jnp.float32)
+            noise = noise - jnp.floor(noise)
         if bounce > 1:
             origin = jnp.where(alive[:, None], origin, park)
         hit, _, tri_idx, _ = closest(scene, origin, direction, T_MAX)
