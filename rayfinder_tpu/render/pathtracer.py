@@ -143,6 +143,33 @@ def trace_radiance(
     park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
     base_noise = noise
 
+    # Bounce rays scatter in all directions, so a pixel-ordered tile overlaps
+    # most of the scene and tile-level pruning collapses (observed 300x
+    # slowdown on interior scenes). Re-sort lanes each bounce by (direction
+    # octant, quantized position) to restore tile coherence; `pixel_of`
+    # tracks the inverse so per-pixel radiance is exactly unchanged. Small
+    # scenes (cluster count is a static shape) skip the sort: its ~40ms/bounce
+    # overhead outweighs the savings when tiles already cover few clusters.
+    sort_bounces = num_bounces > 1 and scene.cluster_tris.shape[0] > 256
+    pixel_of = jnp.arange(batch, dtype=jnp.int32)
+    scene_lo = jnp.min(scene.cluster_min, axis=0)
+    scene_inv = jnp.float32(1023.0) / jnp.maximum(
+        jnp.max(scene.cluster_max, axis=0) - scene_lo, 1e-6
+    )
+
+    def _coherence_key(o, d, live):
+        octant = (
+            (d[:, 0] < 0).astype(jnp.int32)
+            + 2 * (d[:, 1] < 0).astype(jnp.int32)
+            + 4 * (d[:, 2] < 0).astype(jnp.int32)
+        )
+        cell = jnp.clip(((o - scene_lo) * scene_inv), 0.0, 1023.0).astype(jnp.int32)
+        # 5 bits per axis of position under the 3-bit octant: coherent cones
+        # from coherent places sort together.
+        pos_key = (cell[:, 0] >> 5 << 10) | (cell[:, 1] >> 5 << 5) | (cell[:, 2] >> 5)
+        key = (octant << 15) | pos_key
+        return jnp.where(live, key, jnp.int32(2**30))
+
     for bounce in range(1, num_bounces + 1):
         if decorrelate and bounce > 1:
             # Rotate the pixel's noise point by the R2 sequence per bounce.
@@ -153,6 +180,15 @@ def trace_radiance(
             noise = noise - jnp.floor(noise)
         if bounce > 1:
             origin = jnp.where(alive[:, None], origin, park)
+        if sort_bounces and bounce > 1:
+            order = jnp.argsort(_coherence_key(origin, direction, alive))
+            origin = origin[order]
+            direction = direction[order]
+            radiance = radiance[order]
+            throughput = throughput[order]
+            alive = alive[order]
+            noise = noise[order]
+            pixel_of = pixel_of[order]
         hit, _, tri_idx, _ = closest(scene, origin, direction, T_MAX)
         hit_lane = alive & hit
         miss_lane = alive & ~hit
@@ -174,7 +210,8 @@ def trace_radiance(
         brdf = albedo * FRAC_1_PI
         # No clamp on the cosine — parity with wgsl:201.
         cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
-        shadow_origin = jnp.where(hit_lane[:, None], p, park)
+        p_ok = jnp.all(jnp.isfinite(p), axis=-1)
+        shadow_origin = jnp.where((hit_lane & p_ok)[:, None], p, park)
         occluded = any_hit(
             scene, shadow_origin, jnp.broadcast_to(light_dir, p.shape), T_MAX
         )
@@ -188,10 +225,18 @@ def trace_radiance(
 
         # --- scatter: implicit-PDF Lambertian (wgsl:209-211, 294-301) ---
         wi = sample_cosine_hemisphere(noise, n)
+        # Degenerate shading normals (zero-length interpolation, onb poles)
+        # can yield non-finite scatter directions; park those lanes instead
+        # of feeding NaN/Inf rays to the traversal kernels.
+        ray_ok = jnp.all(jnp.isfinite(wi), axis=-1) & jnp.all(jnp.isfinite(p), axis=-1)
+        hit_lane = hit_lane & ray_ok
         origin = jnp.where(hit_lane[:, None], p, origin)
         direction = jnp.where(hit_lane[:, None], wi, direction)
         throughput = jnp.where(hit_lane[:, None], throughput * albedo, throughput)
+        alive = hit_lane
 
+    if sort_bounces:
+        radiance = jnp.zeros_like(radiance).at[pixel_of].set(radiance)
     return radiance
 
 
