@@ -53,25 +53,16 @@ _NOISE_PERIOD = 1 << 20  # animatedBlueNoise period in the deferred path
 
 
 def _closest(scene, o, d, engine):
-    if engine == "pallas":
-        from ..ops.pallas_walk import pallas_intersect_closest
+    from .pathtracer import get_engine
 
-        return pallas_intersect_closest(scene, o, d, T_MAX)
-    from .wavefront import intersect_closest_wavefront
-
-    hit, t, tri, _ = intersect_closest_wavefront(scene, o, d, T_MAX)
+    hit, t, tri, _ = get_engine(engine)[0](scene, o, d, T_MAX)
     return hit, t, tri
 
 
 def _any(scene, o, d, engine):
-    if engine == "pallas":
-        from ..ops.pallas_walk import pallas_intersect_any
+    from .pathtracer import get_engine
 
-        return pallas_intersect_any(scene, o, d, T_MAX)
-    from .wavefront import intersect_any_wavefront
-
-    occ, _ = intersect_any_wavefront(scene, o, d, T_MAX)
-    return occ
+    return get_engine(engine)[1](scene, o, d, T_MAX)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "engine"))

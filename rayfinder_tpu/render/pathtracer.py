@@ -48,6 +48,40 @@ class SamplingParams(NamedTuple):
     num_bounces: int = 4
 
 
+def get_engine(engine: str):
+    """Resolve a traversal engine name to (closest, any_hit) callables.
+
+    closest(scene, o, d, t_max) -> (hit, t, tri_idx, extra);
+    any_hit(scene, o, d, t_max) -> occluded.
+    """
+    if engine == "pallas":
+        from ..ops.pallas_walk import pallas_intersect_any, pallas_intersect_closest
+
+        def closest(s, o, d, tm):
+            hit, t, tri = pallas_intersect_closest(s, o, d, tm)
+            return hit, t, tri, None
+
+        return closest, pallas_intersect_any
+
+    if engine == "wavefront":
+        from .wavefront import intersect_any_wavefront, intersect_closest_wavefront
+
+        def closest(s, o, d, tm):
+            hit, t, tri, _ = intersect_closest_wavefront(s, o, d, tm)
+            return hit, t, tri, None
+
+        def any_hit(s, o, d, tm):
+            occ, _ = intersect_any_wavefront(s, o, d, tm)
+            return occ
+
+        return closest, any_hit
+
+    if engine == "reference":
+        return intersect_closest, intersect_any
+
+    raise ValueError(f"unknown traversal engine: {engine!r}")
+
+
 def _surface_interaction(scene: DeviceScene, origin, direction, tri_idx):
     """Recover the reference's Intersection data for known hit triangles:
     offset hit point (geometric normal), interpolated shading normal, UV and
@@ -100,34 +134,7 @@ def trace_radiance(
     "wavefront" = XLA cluster walk, "pallas" = Pallas cluster sweep.
     Returns (B, 3) float32 radiance.
     """
-    if engine == "pallas":
-        from ..ops.pallas_walk import pallas_intersect_any, pallas_intersect_closest
-
-        def closest(s, o, d, tm):
-            hit, t, tri = pallas_intersect_closest(s, o, d, tm)
-            return hit, t, tri, None
-
-        def any_hit(s, o, d, tm):
-            return pallas_intersect_any(s, o, d, tm)
-
-    elif engine == "wavefront":
-        from .wavefront import intersect_any_wavefront, intersect_closest_wavefront
-
-        def closest(s, o, d, tm):
-            hit, t, tri, _ = intersect_closest_wavefront(s, o, d, tm)
-            return hit, t, tri, None
-
-        def any_hit(s, o, d, tm):
-            occ, _ = intersect_any_wavefront(s, o, d, tm)
-            return occ
-
-    else:
-
-        def closest(s, o, d, tm):
-            return intersect_closest(s, o, d, tm)
-
-        def any_hit(s, o, d, tm):
-            return intersect_any(s, o, d, tm)
+    closest, any_hit = get_engine(engine)
 
     batch = origin.shape[0]
     radiance = jnp.zeros((batch, 3), jnp.float32)
