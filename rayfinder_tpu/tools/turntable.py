@@ -9,11 +9,9 @@ the reference's setRenderParameters), and writes numbered PNGs.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import math
 import pathlib
 import sys
-import time
 
 import numpy as np
 
