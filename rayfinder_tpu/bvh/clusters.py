@@ -18,10 +18,11 @@ This trades ~2-4x more triangle tests for fully regular, gather-light compute
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
-DEFAULT_LEAF_SIZE = 128
+DEFAULT_LEAF_SIZE = int(os.environ.get("RAYFINDER_LEAF", "128"))
 
 
 @dataclasses.dataclass
@@ -45,9 +46,12 @@ class ClusterSet:
 def build_clusters(tri_positions: np.ndarray, leaf_size: int = DEFAULT_LEAF_SIZE) -> ClusterSet:
     """Chunk leaf-ordered triangles into padded fixed-size clusters.
 
-    Padding replicates the block's first triangle, which cannot produce wrong
-    results (a duplicate surface hits at the same t) and maps back to the real
-    index through tri_map.
+    Padding slots are DEGENERATE (all-zero) triangles: Möller-Trumbore rejects
+    them unconditionally (|det| = 0 < EPSILON), so a padded slot can never win
+    an argmin — which makes `cluster_idx * leaf + slot` the real leaf-order
+    triangle index directly, with no remap gather on the hot path. tri_map is
+    kept (identity, tail clamped in-range) for engines that still index it.
+    Cluster AABBs cover only the real triangles.
     """
     tri_positions = np.ascontiguousarray(tri_positions, dtype=np.float32)
     num_tris = tri_positions.shape[0]
@@ -55,17 +59,20 @@ def build_clusters(tri_positions: np.ndarray, leaf_size: int = DEFAULT_LEAF_SIZE
     padded = num_clusters * leaf_size
 
     tri_map = np.arange(padded, dtype=np.int32)
-    tris = np.empty((padded, 3, 3), dtype=np.float32)
+    tris = np.zeros((padded, 3, 3), dtype=np.float32)
     tris[:num_tris] = tri_positions
     if padded > num_tris:
-        first_of_last = (num_clusters - 1) * leaf_size
-        tris[num_tris:] = tri_positions[first_of_last]
-        tri_map[num_tris:] = first_of_last
+        tri_map[num_tris:] = (num_clusters - 1) * leaf_size
 
     blocks = tris.reshape(num_clusters, leaf_size, 3, 3)
+    # AABBs over real triangles only (the zero padding would otherwise drag
+    # the last cluster's box to the origin).
+    mask = (np.arange(padded) < num_tris).reshape(num_clusters, leaf_size, 1, 1)
+    aabb_min = np.where(mask, blocks, np.inf).min(axis=(1, 2))
+    aabb_max = np.where(mask, blocks, -np.inf).max(axis=(1, 2))
     return ClusterSet(
         tris=blocks,
-        aabb_min=blocks.min(axis=(1, 2)),
-        aabb_max=blocks.max(axis=(1, 2)),
+        aabb_min=aabb_min,
+        aabb_max=aabb_max,
         tri_map=tri_map,
     )

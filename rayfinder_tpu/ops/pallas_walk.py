@@ -27,6 +27,8 @@ is pinned against the XLA walk in tests/test_pallas_walk.py.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -34,8 +36,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 EPSILON = np.float32(1e-5)  # numpy: a jnp scalar would be captured as a constant
-SUPER = 64  # clusters per super-cluster
-TILE = 1024  # rays per tile (one 32x32 pixel block)
+# Tunables (env-overridable for config scans; defaults are the tuned values).
+SUPER = int(os.environ.get("RAYFINDER_SUPER", "64"))  # clusters per super-cluster
+TILE = int(os.environ.get("RAYFINDER_TILE", "512"))  # rays per tile (32x16 pixels)
+# Ray tiles processed per grid step: amortizes the ~4us fixed cost of a
+# Mosaic grid step (measured on v5e: a no-op kernel at 469 steps costs ~2ms).
+RT = int(os.environ.get("RAYFINDER_RT", "8"))
 _FAR = np.float32(1e30)  # padded-cluster AABB plane: slab test always misses
 
 
@@ -113,12 +119,27 @@ def _mt_block(v, ox, oy, oz, dx, dy, dz, t_bound):
     return t_best, slot.astype(jnp.int32)
 
 
-def _ray_regs(o_ref, d_ref, tmax_ref):
-    ox, oy, oz = o_ref[0, 0, :], o_ref[0, 1, :], o_ref[0, 2, :]
-    dx, dy, dz = d_ref[0, 0, :], d_ref[0, 1, :], d_ref[0, 2, :]
-    tmax = tmax_ref[0, 0, :]
+def _ray_regs(o_ref, d_ref, tmax_ref, rt: int):
+    ox, oy, oz = o_ref[rt, 0, :], o_ref[rt, 1, :], o_ref[rt, 2, :]
+    dx, dy, dz = d_ref[rt, 0, :], d_ref[rt, 1, :], d_ref[rt, 2, :]
+    tmax = tmax_ref[rt, 0, :]
     inv = (jnp.float32(1.0) / dx, jnp.float32(1.0) / dy, jnp.float32(1.0) / dz)
     return (ox, oy, oz), (dx, dy, dz), inv, tmax
+
+
+def _next_cluster(entry, bt):
+    """Front-to-back cluster selection over a (SUPER, TILE) entry table.
+
+    Returns (j, key): the untested cluster whose nearest needing lane is
+    closest (the block-uniform analog of the reference's near-child-first
+    stack order, ray_intersection.cpp:170-189), and that nearest distance.
+    key == +inf means no cluster has any lane with entry < best_t — the
+    whole-tile early-exit condition.
+    """
+    masked = jnp.where(entry < bt[None, :], entry, jnp.inf)
+    key = jnp.min(masked, axis=1, keepdims=True)  # (SUPER, 1)
+    j = jnp.argmin(key, axis=0)[0].astype(jnp.int32)
+    return j, jnp.min(key)
 
 
 def _make_closest_kernel(leaf: int):
@@ -128,46 +149,65 @@ def _make_closest_kernel(leaf: int):
         t_out_ref, tri_out_ref, super_entry, cl_entry,
     ):
         s = pl.program_id(1)
-        (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
-            o_ref, d_ref, tmax_ref
-        )
 
-        # First super of a tile: compute all super entries, init outputs.
-        @pl.when(s == 0)
-        def _():
-            super_entry[:, :] = _slab_entry_rows(
-                super_min_ref[:, :], super_max_ref[:, :], ox, oy, oz, ix, iy, iz, tmax
-            )
-            t_out_ref[0, 0, :] = tmax
-            tri_out_ref[0, 0, :] = jnp.full((tmax.shape[0],), -1, jnp.int32)
-
-        best_t = t_out_ref[0, 0, :]
-        se = super_entry[s, :]
-
-        @pl.when(jnp.any(se < best_t))
-        def _():
-            cl_entry[:, :] = _slab_entry_rows(
-                cl_min_ref[0], cl_max_ref[0], ox, oy, oz, ix, iy, iz, tmax
+        # Statically unrolled loop over the RT ray tiles in this grid step.
+        for rt in range(RT):
+            (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
+                o_ref, d_ref, tmax_ref, rt
             )
 
-            def cluster_body(j, carry):
-                bt, btri = carry
-                need = cl_entry[j, :] < bt
+            # First super of a tile: compute all super entries, init outputs.
+            @pl.when(s == 0)
+            def _(rt=rt, ox=ox, oy=oy, oz=oz, ix=ix, iy=iy, iz=iz, tmax=tmax):
+                super_entry[rt] = _slab_entry_rows(
+                    super_min_ref[:, :], super_max_ref[:, :],
+                    ox, oy, oz, ix, iy, iz, tmax,
+                )
+                t_out_ref[rt, 0, :] = tmax
+                tri_out_ref[rt, 0, :] = jnp.full((tmax.shape[0],), -1, jnp.int32)
 
-                def test(_):
+            best_t = t_out_ref[rt, 0, :]
+            se = super_entry[rt, s, :]
+
+            @pl.when(jnp.any(se < best_t))
+            def _(
+                rt=rt, best_t=best_t,
+                ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                ix=ix, iy=iy, iz=iz, tmax=tmax,
+            ):
+                cl_entry[:, :] = _slab_entry_rows(
+                    cl_min_ref[0], cl_max_ref[0], ox, oy, oz, ix, iy, iz, tmax
+                )
+
+                # Front-to-back sweep with tile-wide early exit: test the
+                # nearest needed cluster, shrink best_t, re-select. Ordering
+                # cannot change the min-t result (only exact-tie winners); it
+                # makes later clusters fail the `entry < best_t` test so the
+                # loop ends after the few clusters that actually bound the
+                # tile's hits.
+                j0, k0 = _next_cluster(cl_entry[:, :], best_t)
+
+                def cond(carry):
+                    return jnp.isfinite(carry[3])
+
+                def body(carry):
+                    bt, btri, j, _ = carry
+                    need = cl_entry[j, :] < bt
                     v = table_ref[0, j]  # (9, L)
                     t_cand, slot = _mt_block(v, ox, oy, oz, dx, dy, dz, bt)
                     better = need & (t_cand < bt)
                     tri = (s * SUPER + j) * leaf + slot
-                    return jnp.where(better, t_cand, bt), jnp.where(better, tri, btri)
+                    bt = jnp.where(better, t_cand, bt)
+                    btri = jnp.where(better, tri, btri)
+                    cl_entry[j, :] = jnp.full((bt.shape[0],), jnp.inf, jnp.float32)
+                    j_next, key = _next_cluster(cl_entry[:, :], bt)
+                    return bt, btri, j_next, key
 
-                return jax.lax.cond(jnp.any(need), test, lambda _: (bt, btri), None)
-
-            new_t, new_tri = jax.lax.fori_loop(
-                0, SUPER, cluster_body, (best_t, tri_out_ref[0, 0, :])
-            )
-            t_out_ref[0, 0, :] = new_t
-            tri_out_ref[0, 0, :] = new_tri
+                new_t, new_tri, _, _ = jax.lax.while_loop(
+                    cond, body, (best_t, tri_out_ref[rt, 0, :], j0, k0)
+                )
+                t_out_ref[rt, 0, :] = new_t
+                tri_out_ref[rt, 0, :] = new_tri
 
     return kernel
 
@@ -179,47 +219,69 @@ def _make_any_kernel(leaf: int):
         occ_out_ref, super_entry, cl_entry,
     ):
         s = pl.program_id(1)
-        (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
-            o_ref, d_ref, tmax_ref
-        )
 
-        @pl.when(s == 0)
-        def _():
-            super_entry[:, :] = _slab_entry_rows(
-                super_min_ref[:, :], super_max_ref[:, :], ox, oy, oz, ix, iy, iz, tmax
-            )
-            occ_out_ref[0, 0, :] = jnp.zeros((tmax.shape[0],), jnp.int32)
-
-        occluded = occ_out_ref[0, 0, :]
-        se = super_entry[s, :]
-        active = jnp.isfinite(se) & (occluded == 0)
-
-        @pl.when(jnp.any(active))
-        def _():
-            cl_entry[:, :] = _slab_entry_rows(
-                cl_min_ref[0], cl_max_ref[0], ox, oy, oz, ix, iy, iz, tmax
+        for rt in range(RT):
+            (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
+                o_ref, d_ref, tmax_ref, rt
             )
 
-            # int32 occlusion carry: Mosaic cannot legalize i1-vector carries.
-            def cluster_body(j, occ):
-                need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
+            @pl.when(s == 0)
+            def _(rt=rt, ox=ox, oy=oy, oz=oz, ix=ix, iy=iy, iz=iz, tmax=tmax):
+                super_entry[rt] = _slab_entry_rows(
+                    super_min_ref[:, :], super_max_ref[:, :],
+                    ox, oy, oz, ix, iy, iz, tmax,
+                )
+                occ_out_ref[rt, 0, :] = jnp.zeros((tmax.shape[0],), jnp.int32)
 
-                def test(_):
+            occluded = occ_out_ref[rt, 0, :]
+            se = super_entry[rt, s, :]
+            active = jnp.isfinite(se) & (occluded == 0)
+
+            @pl.when(jnp.any(active))
+            def _(
+                rt=rt, occluded=occluded,
+                ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                ix=ix, iy=iy, iz=iz, tmax=tmax,
+            ):
+                cl_entry[:, :] = _slab_entry_rows(
+                    cl_min_ref[0], cl_max_ref[0], ox, oy, oz, ix, iy, iz, tmax
+                )
+
+                # Early-exit sweep: keep testing the nearest cluster any
+                # unoccluded lane still overlaps; once every lane is occluded
+                # (or nothing overlaps) the selection key goes +inf and the
+                # loop ends. int32 occlusion carry: Mosaic cannot legalize
+                # i1-vector carries.
+                def pending_bound(occ):
+                    # Unoccluded lanes keep their tmax bound; occluded lanes
+                    # drop out by bounding at -inf (no entry can be < -inf).
+                    return jnp.where(occ == 0, tmax, -jnp.inf)
+
+                j0, k0 = _next_cluster(cl_entry[:, :], pending_bound(occluded))
+
+                def cond(carry):
+                    return jnp.isfinite(carry[2])
+
+                def body(carry):
+                    occ, j, _ = carry
+                    need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
                     v = table_ref[0, j]
                     t_cand, _ = _mt_block(v, ox, oy, oz, dx, dy, dz, tmax)
-                    return jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
+                    occ = jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
+                    cl_entry[j, :] = jnp.full((occ.shape[0],), jnp.inf, jnp.float32)
+                    j_next, key = _next_cluster(cl_entry[:, :], pending_bound(occ))
+                    return occ, j_next, key
 
-                return jax.lax.cond(jnp.any(need), test, lambda _: occ, None)
-
-            occ_out_ref[0, 0, :] = jax.lax.fori_loop(0, SUPER, cluster_body, occluded)
+                occ_fin, _, _ = jax.lax.while_loop(cond, body, (occluded, j0, k0))
+                occ_out_ref[rt, 0, :] = occ_fin
 
     return kernel
 
 
 def _prep_rays(origin, direction, t_max):
-    """Pad to a TILE multiple and lay out as (tiles, 3, TILE) SoA."""
+    """Pad to a TILE*RT multiple and lay out as (tiles, 3, TILE) SoA."""
     num_rays = origin.shape[0]
-    padded = -(-num_rays // TILE) * TILE
+    padded = -(-num_rays // (TILE * RT)) * (TILE * RT)
     pad = padded - num_rays
     if pad:
         origin = jnp.concatenate([origin, jnp.full((pad, 3), 1e30, jnp.float32)])
@@ -280,11 +342,11 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
 
     outs = pl.pallas_call(
         kernel_factory(leaf),
-        grid=(tiles, num_supers),
+        grid=(tiles // RT, num_supers),
         in_specs=[
-            pl.BlockSpec((1, 3, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 3, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 3, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 1, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
             full(super_min.shape),
             full(super_max.shape),
             pl.BlockSpec((1, 3, SUPER), lambda i, s: (s, 0, 0), memory_space=pltpu.VMEM),
@@ -294,12 +356,12 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((RT, 1, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
             for _ in out_dtypes
         ],
         out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), dt) for dt in out_dtypes],
         scratch_shapes=[
-            pltpu.VMEM((num_supers, TILE), jnp.float32),
+            pltpu.VMEM((RT, num_supers, TILE), jnp.float32),
             pltpu.VMEM((SUPER, TILE), jnp.float32),
         ],
         interpret=_interpret(),
@@ -309,14 +371,18 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
 
 @jax.jit
 def pallas_intersect_closest(scene, origin, direction, t_max):
-    """Closest-hit sweep. Returns (hit, t, tri_idx) — tri in real indices."""
+    """Closest-hit sweep. Returns (hit, t, tri_idx) — tri in real indices.
+
+    Padding slots are degenerate triangles (bvh/clusters.py) that can never
+    win, so the kernel's `cluster * leaf + slot` IS the real leaf-order
+    triangle index — no remap gather (TPU gathers cost ~13ns/row; this one
+    was ~2ms per pass at 800x600)."""
     (t_out, tri_out), n, t_max = _common_call(
         scene, origin, direction, t_max, _make_closest_kernel, (jnp.float32, jnp.int32)
     )
     t = t_out.reshape(-1)[:n]
-    tri_padded = tri_out.reshape(-1)[:n]
-    hit = tri_padded >= 0
-    tri = jnp.where(hit, scene.cluster_tri_map[jnp.maximum(tri_padded, 0)], -1)
+    tri = tri_out.reshape(-1)[:n]
+    hit = tri >= 0
     return hit, jnp.where(hit, t, t_max[:n]), tri
 
 

@@ -18,6 +18,7 @@ TPU-friendly formulation of the reference's per-thread `loop`/`break`.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -39,6 +40,10 @@ SOLAR_COS_THETA_MAX = np.float32(np.cos(TERRESTRIAL_SOLAR_RADIUS))
 SOLAR_INV_PDF = np.float32(2.0 * np.pi * (1.0 - SOLAR_COS_THETA_MAX))
 
 FRAC_1_PI = np.float32(1.0 / np.pi)
+
+# Scenes with more clusters than this re-sort bounce rays for tile coherence
+# (see trace_radiance); env-overridable for tuning scans.
+SORT_THRESHOLD = int(os.environ.get("RAYFINDER_SORT_THRESHOLD", "256"))
 
 
 class SamplingParams(NamedTuple):
@@ -157,7 +162,7 @@ def trace_radiance(
     # tracks the inverse so per-pixel radiance is exactly unchanged. Small
     # scenes (cluster count is a static shape) skip the sort: its ~40ms/bounce
     # overhead outweighs the savings when tiles already cover few clusters.
-    sort_bounces = num_bounces > 1 and scene.cluster_tris.shape[0] > 256
+    sort_bounces = num_bounces > 1 and scene.cluster_tris.shape[0] > SORT_THRESHOLD
     pixel_of = jnp.arange(batch, dtype=jnp.int32)
     scene_lo = jnp.min(scene.cluster_min, axis=0)
     scene_inv = jnp.float32(1023.0) / jnp.maximum(

@@ -42,6 +42,7 @@ class DeviceScene:
     tex_width: Any  # (K,) i32
     tex_height: Any  # (K,) i32
     tex_offset: Any  # (K,) i32
+    tex_desc: Any  # (K, 3) i32 packed [width, height, offset] descriptor rows
     texels: Any  # (P,) uint32 packed BGRA
 
     # Triangle clusters for the TPU wavefront engine (bvh/clusters.py)
@@ -120,6 +121,7 @@ def build_device_scene(
         tex_width=jnp.asarray(widths),
         tex_height=jnp.asarray(heights),
         tex_offset=jnp.asarray(offsets),
+        tex_desc=jnp.asarray(np.stack([widths, heights, offsets], axis=1)),
         texels=jnp.asarray(texels),
         cluster_tris=jnp.asarray(clusters.tris),
         cluster_min=jnp.asarray(clusters.aabb_min),

@@ -17,9 +17,12 @@ def eval_texture(scene: DeviceScene, texture_idx, uv):
 
     texture_idx: (B,) int32; uv: (B, 2) f32. Returns (B, 3) f32.
     """
-    width = scene.tex_width[texture_idx]
-    height = scene.tex_height[texture_idx]
-    offset = scene.tex_offset[texture_idx]
+    # One (B, 3) row gather for the whole descriptor — TPU gathers are
+    # row-count bound, so three separate (B,) gathers cost ~3x this.
+    desc = scene.tex_desc[texture_idx]
+    width = desc[:, 0]
+    height = desc[:, 1]
+    offset = desc[:, 2]
 
     u = uv[..., 0] - jnp.floor(uv[..., 0])
     v = uv[..., 1] - jnp.floor(uv[..., 1])

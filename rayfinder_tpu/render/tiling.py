@@ -18,7 +18,11 @@ import functools
 import numpy as np
 
 BLOCK_W = 32
-BLOCK_H = 32  # 32 * 32 == 1024 == one traversal tile
+# Block area tracks the Pallas traversal tile size so each tile covers
+# exactly one contiguous pixel block (32x32 at TILE=1024, 32x16 at TILE=512).
+from ..ops.pallas_walk import TILE as _TILE  # noqa: E402
+
+BLOCK_H = max(_TILE // BLOCK_W, 1)
 
 
 @functools.lru_cache(maxsize=8)
