@@ -35,7 +35,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from rayfinder_tpu.render.camera import create_camera
-    from rayfinder_tpu.render.pathtracer import accumulate_samples
+    from rayfinder_tpu.render.pathtracer import accumulate_samples_regen
     from rayfinder_tpu.render.rng import blue_noise_tile
     from rayfinder_tpu.render.scene import load_device_scene
     from rayfinder_tpu.render.wavefront import intersect_closest_wavefront
@@ -51,7 +51,7 @@ def main() -> None:
     accum = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
 
     def step(frame_idx, accum, n):
-        return accumulate_samples(
+        return accumulate_samples_regen(
             scene,
             sky,
             camera,

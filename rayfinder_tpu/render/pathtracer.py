@@ -355,6 +355,158 @@ def accumulate_samples(
 
 @partial(
     jax.jit,
+    static_argnames=("width", "height", "num_bounces", "spp", "num_frames", "engine"),
+    donate_argnums=(5,),
+)
+def accumulate_samples_regen(
+    scene: DeviceScene,
+    sky: SkyState,
+    camera: Camera,
+    blue_noise_tile,
+    frame_base,
+    accum,
+    *,
+    width: int,
+    height: int,
+    num_bounces: int,
+    spp: int,
+    num_frames: int,
+    engine: str = "pallas",
+):
+    """accumulate_samples with PATH REGENERATION (persistent wavefront, after
+    Laine et al. 2013): each lane owns one pixel and traces its `num_frames`
+    samples back-to-back — the moment a path terminates (miss, depth, or
+    degenerate scatter) the lane immediately starts its pixel's next sample.
+    Traversal passes therefore run near full lane occupancy, instead of the
+    scan formulation's mostly-dead deep-bounce passes (~85% of lanes die at
+    bounce 1 on open scenes).
+
+    Per-pixel arithmetic is bit-identical to accumulate_samples: the same
+    noise stream per (pixel, frame), the same contribution order within a
+    sample, and the same f32 accumulation grouping (lane radiance starts from
+    `accum` and adds one finished sample at a time, in sample order).
+    """
+    closest, any_hit = get_engine(engine)
+    from .rng import _A1, _A2
+    from .tiling import block_order
+
+    ys_np, xs_np, _ = block_order(width, height)
+    ys = jnp.asarray(ys_np)
+    xs = jnp.asarray(xs_np)
+    u = (xs.astype(jnp.float32) + 0.5) / jnp.float32(width)
+    v_tex = (ys.astype(jnp.float32) + 0.5) / jnp.float32(height)
+    batch = u.shape[0]
+
+    # The blue-noise tile value is a pure function of the pixel: gather ONCE
+    # per dispatch; per-sample noise is that base plus the frame's R2 offset
+    # (arithmetic only) — no per-step gathers (rng.animated_blue_noise).
+    th, tw = blue_noise_tile.shape[0], blue_noise_tile.shape[1]
+    noise_base = blue_noise_tile[ys % th, xs % tw]  # (B, 2)
+
+    def noise_of(sample_idx):
+        n = ((frame_base + sample_idx) % jnp.int32(spp)).astype(jnp.float32)
+        r2 = jnp.stack([_A1 * n, _A2 * n], axis=-1)
+        r2 = r2 - jnp.floor(r2)
+        out = noise_base + r2
+        return out - jnp.floor(out)
+
+    inv_dims = jnp.float32(1.0) / jnp.asarray([width, height], jnp.float32)
+
+    def primary(noise):
+        jitter = noise * inv_dims
+        ray_u = u + jitter[:, 0]
+        ray_v = (jnp.float32(1.0) - v_tex) + jitter[:, 1]
+        return generate_camera_ray_lens(camera, noise, ray_u, ray_v)
+
+    sun_dir = jnp.asarray(sky.sun_direction)
+    solar_radiance = jnp.asarray(sky.solar_radiances)
+    park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
+
+    sample0 = jnp.zeros((batch,), jnp.int32)
+    noise0 = noise_of(sample0)
+    o0, d0 = primary(noise0)
+    state = (
+        sample0,  # per-lane sample index
+        jnp.ones((batch,), jnp.int32),  # bounce depth of the active path
+        o0,
+        d0,
+        jnp.ones((batch, 3), jnp.float32),  # throughput
+        jnp.zeros((batch, 3), jnp.float32),  # current sample's radiance
+        accum,  # lane radiance, seeded from accum for exact f32 grouping
+        noise0,
+    )
+
+    def cond(st):
+        return jnp.any(st[0] < jnp.int32(num_frames))
+
+    def body(st):
+        sample, bounce, origin, direction, thr, srad, lrad, noise = st
+        live = sample < jnp.int32(num_frames)
+        origin = jnp.where(live[:, None], origin, park)
+
+        hit, _, tri_idx, _ = closest(scene, origin, direction, T_MAX)
+        hit_lane = live & hit
+        miss_lane = live & ~hit
+
+        # --- miss: sky radiance (sun excluded; it arrives via NEE) ---
+        theta = jnp.arccos(jnp.clip(direction[:, 1], -1.0, 1.0))
+        gamma = jnp.arccos(
+            jnp.clip(jnp.sum(direction * sun_dir, axis=-1), -1.0, 1.0)
+        )
+        sky_rgb = sky_radiance_dist(sky, theta, gamma)
+        srad = jnp.where(miss_lane[:, None], srad + thr * sky_rgb, srad)
+
+        # --- hit: NEE toward the solar disk ---
+        safe_tri = jnp.maximum(tri_idx, 0)
+        p, n, uv, tex, _ = _surface_interaction(scene, origin, direction, safe_tri)
+        albedo = eval_texture(scene, tex, uv)
+        light_dir = sample_solar_disk_direction(noise, SOLAR_COS_THETA_MAX, sun_dir)
+        brdf = albedo * FRAC_1_PI
+        cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
+        p_ok = jnp.all(jnp.isfinite(p), axis=-1)
+        shadow_origin = jnp.where((hit_lane & p_ok)[:, None], p, park)
+        occluded = any_hit(
+            scene, shadow_origin, jnp.broadcast_to(light_dir, p.shape), T_MAX
+        )
+        visibility = jnp.where(occluded, jnp.float32(0.0), jnp.float32(1.0))[:, None]
+        contrib = thr * solar_radiance * brdf * cos_term * visibility * SOLAR_INV_PDF
+        srad = jnp.where(hit_lane[:, None], srad + contrib, srad)
+
+        # --- scatter or terminate ---
+        wi = sample_cosine_hemisphere(noise, n)
+        ray_ok = jnp.all(jnp.isfinite(wi), axis=-1) & p_ok
+        scatter = hit_lane & (bounce < jnp.int32(num_bounces)) & ray_ok
+        term = live & ~scatter
+
+        # Flush the finished sample into the lane radiance, in sample order.
+        lrad = jnp.where(term[:, None], lrad + srad, lrad)
+        srad = jnp.where(term[:, None], jnp.float32(0.0), srad)
+        sample = jnp.where(term, sample + 1, sample)
+        regen = term & (sample < jnp.int32(num_frames))
+
+        noise_new = noise_of(sample)
+        po, pd = primary(noise_new)
+        origin = jnp.where(
+            scatter[:, None], p, jnp.where(regen[:, None], po, origin)
+        )
+        direction = jnp.where(
+            scatter[:, None], wi, jnp.where(regen[:, None], pd, direction)
+        )
+        thr = jnp.where(
+            scatter[:, None],
+            thr * albedo,
+            jnp.where(regen[:, None], jnp.float32(1.0), thr),
+        )
+        noise = jnp.where(regen[:, None], noise_new, noise)
+        bounce = jnp.where(scatter, bounce + 1, jnp.where(regen, 1, bounce))
+        return sample, bounce, origin, direction, thr, srad, lrad, noise
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state[6]
+
+
+@partial(
+    jax.jit,
     static_argnames=("win_w", "win_h", "width", "height", "num_bounces", "spp", "num_frames", "engine"),
     donate_argnums=(5,),
 )
@@ -477,10 +629,18 @@ def render_image(
     tile = jnp.asarray(blue_noise_tile())
     accum = jnp.zeros((height * width, 3), jnp.float32)
     spp = sampling.num_samples_per_pixel
+    # Path regeneration keeps lanes occupied on scenes whose bounce rays stay
+    # tile-coherent without the re-sort; sorted scenes keep the scan form
+    # (the sort permutes lanes, which regen's lane==pixel invariant forbids).
+    accumulate = (
+        accumulate_samples_regen
+        if scene.cluster_tris.shape[0] <= SORT_THRESHOLD
+        else accumulate_samples
+    )
     frame_idx = 0
     while frame_idx < spp:
         batch = min(samples_per_dispatch, spp - frame_idx)
-        accum = accumulate_samples(
+        accum = accumulate(
             scene,
             sky,
             camera,
