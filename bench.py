@@ -63,7 +63,7 @@ def main() -> None:
             num_bounces=BOUNCES,
             spp=256,
             num_frames=n,
-            engine="pallas",
+            engine=os.environ.get("RAYFINDER_ENGINE", "pallas"),
         )
 
     # block_until_ready is unreliable through the axon tunnel (returns while

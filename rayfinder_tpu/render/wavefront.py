@@ -40,12 +40,16 @@ MAX_CLUSTERS_PER_RAY = 32  # top-k capacity per ray
 _MAX_CULL_ENTRIES = 32 * 1024 * 1024  # cap on the (chunk, C) cull grid
 
 
-def _ray_chunk(num_clusters: int) -> int:
+def _ray_chunk(num_clusters: int, num_rays: int | None = None) -> int:
     """Shrink the ray chunk for large scenes so the dense (chunk, C) cull
-    grid stays bounded (~128MB of f32 temporaries)."""
+    grid stays bounded (~128MB of f32 temporaries); never pad a small batch
+    past the next power of two above its actual size."""
     chunk = RAY_CHUNK
     while chunk > 1024 and chunk * num_clusters > _MAX_CULL_ENTRIES:
         chunk //= 2
+    if num_rays is not None:
+        while chunk > 1024 and chunk // 2 >= num_rays:
+            chunk //= 2
     return chunk
 
 
@@ -106,6 +110,10 @@ def _walk_closest(scene, origin, direction, t_max, entry, cids):
     leaf = scene.cluster_tris.shape[1]
     num_slots = entry.shape[1]
     batch = origin.shape[0]
+    # Derive initial carries from the (possibly shard_map-varying) ray arrays
+    # so while_loop carry types match under manual sharding (cf. traverse.py).
+    zero_i = (origin[:, 0] * 0.0).astype(jnp.int32)
+    t_max = t_max + 0.0 * origin[:, 0]
 
     def slot_entry(m):
         return jax.lax.dynamic_slice_in_dim(entry, m, 1, axis=1)[:, 0]
@@ -143,7 +151,7 @@ def _walk_closest(scene, origin, direction, t_max, entry, cids):
     _, best_t, best_tri = jax.lax.while_loop(
         cond,
         body,
-        (jnp.int32(0), t_max, jnp.full((batch,), -1, jnp.int32)),
+        (jnp.int32(0), t_max, zero_i - 1),
     )
     found = best_tri >= 0
     return found, jnp.where(found, best_t, t_max), best_tri
@@ -153,6 +161,7 @@ def _walk_any(scene, origin, direction, t_max, entry, cids):
     """Any-hit cluster walk; lanes stop at the first intersection."""
     num_slots = entry.shape[1]
     batch = origin.shape[0]
+    zero_i = (origin[:, 0] * 0.0).astype(jnp.int32)
 
     def slot_entry(m):
         return jax.lax.dynamic_slice_in_dim(entry, m, 1, axis=1)[:, 0]
@@ -180,9 +189,7 @@ def _walk_any(scene, origin, direction, t_max, entry, cids):
         occluded = occluded | (jnp.any(hit, axis=-1) & lane_active)
         return m + 1, occluded
 
-    _, occluded = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros((batch,), jnp.bool_))
-    )
+    _, occluded = jax.lax.while_loop(cond, body, (jnp.int32(0), zero_i > 0))
     return occluded
 
 
@@ -216,7 +223,7 @@ def intersect_closest_wavefront(
     num_clusters = scene.cluster_tris.shape[0]
     k = min(top_k, num_clusters)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
-    chunk_size = _ray_chunk(num_clusters)
+    chunk_size = _ray_chunk(num_clusters, num_rays)
     origin, direction, t_max, _ = _pad_rays(origin, direction, t_max, chunk_size)
 
     def chunk(args):
@@ -254,7 +261,7 @@ def intersect_any_wavefront(
     num_clusters = scene.cluster_tris.shape[0]
     k = min(top_k, num_clusters)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
-    chunk_size = _ray_chunk(num_clusters)
+    chunk_size = _ray_chunk(num_clusters, num_rays)
     origin, direction, t_max, _ = _pad_rays(origin, direction, t_max, chunk_size)
 
     def chunk(args):
