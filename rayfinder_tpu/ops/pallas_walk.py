@@ -8,16 +8,19 @@ kernels reorganize traversal around the TPU's strengths:
   triangles, and clusters into super-clusters of SUPER consecutive clusters
   (both spatially coherent: the SAH builder's depth-first leaf order is a
   space-filling walk);
-* the Pallas grid is **(ray tiles, super-clusters)** with supers innermost:
-  each step streams ONE super's (SUPER, 9, L) triangle slice through VMEM
-  (147 KB double-buffered — scales to millions of triangles where a fully
-  VMEM-resident table would not), while the per-tile outputs (best t / tri,
-  occlusion) live in VMEM across the super sweep as accumulation state;
-* at each step the tile tests the super's entry distance against its current
-  best hits and skips all work when no lane needs it (`pl.when`) — the
-  block-uniform analog of BVH pruning. Surviving clusters run dense
-  (TILE, L) Möller-Trumbore with numerics identical to render/intersect.py
-  (EPSILON 1e-5, reference: src/pt/reference_path_tracer.wgsl:477-521).
+* the Pallas grid is 1D over groups of RT ray tiles; the triangle table stays
+  in HBM (`pltpu.ANY`) and each tile DMAs in ONLY the supers it needs,
+  nearest-first: per tile, a front-to-back while_loop over supers (selected
+  by per-lane slab entry distance against the current best hit) wraps an
+  inner front-to-back while_loop over the super's clusters. This is the
+  block-uniform analog of the reference's near-child-first stack traversal
+  (ray_intersection.cpp:138-213) at two granularities, and it never spends
+  HBM bandwidth on pruned supers;
+* a one-slot VMEM table cache skips the DMA when consecutive tiles want the
+  same super (always true on single-super scenes);
+* surviving clusters run dense (TILE, L) Möller-Trumbore with numerics
+  identical to render/intersect.py (EPSILON 1e-5, reference:
+  src/pt/reference_path_tracer.wgsl:477-521).
 
 Mosaic constraints shape the code: leading-dimension dynamic indexing only,
 int32 loop carries (i1 vectors fail scf.for legalization), and numpy (not
@@ -76,19 +79,23 @@ def _slab_entry_rows(mins, maxs, ox, oy, oz, ix, iy, iz, tmax):
     return jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
 
 
-def _mt_block(v, ox, oy, oz, dx, dy, dz, t_bound):
-    """Möller-Trumbore of TILE rays vs one (9, L) vertex block.
+def _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, t_bound):
+    """Möller-Trumbore of TILE rays vs cluster j's (L,) vertex rows.
 
-    v rows: v0x v0y v0z v1x v1y v1z v2x v2y v2z. Returns (t, slot):
-    per-ray min-t over the block (inf when no accept) and its lane index.
+    tbuf: (9, SUPER, L) VMEM table — rows v0x v0y v0z v1x v1y v1z v2x v2y
+    v2z. (Rows lead so the DMA'd minor dims are the aligned (SUPER, L)
+    tiles; a (SUPER, 9, L) slice has a 9-sublane second-minor dim, and
+    DMAing that faults the TPU worker.) Returns (t, slot): per-ray min-t
+    over the block (inf when no accept) and its lane index.
     """
-    v0x, v0y, v0z = v[0][None, :], v[1][None, :], v[2][None, :]
-    e1x = v[3][None, :] - v0x
-    e1y = v[4][None, :] - v0y
-    e1z = v[5][None, :] - v0z
-    e2x = v[6][None, :] - v0x
-    e2y = v[7][None, :] - v0y
-    e2z = v[8][None, :] - v0z
+    v = [tbuf[r, j][None, :] for r in range(9)]
+    v0x, v0y, v0z = v[0], v[1], v[2]
+    e1x = v[3] - v0x
+    e1y = v[4] - v0y
+    e1z = v[5] - v0z
+    e2x = v[6] - v0x
+    e2y = v[7] - v0y
+    e2z = v[8] - v0z
 
     dxc, dyc, dzc = dx[:, None], dy[:, None], dz[:, None]
     hx = dyc * e2z - dzc * e2y
@@ -127,153 +134,194 @@ def _ray_regs(o_ref, d_ref, tmax_ref, rt: int):
     return (ox, oy, oz), (dx, dy, dz), inv, tmax
 
 
-def _next_cluster(entry, bt):
-    """Front-to-back cluster selection over a (SUPER, TILE) entry table.
+def _next_row(entry, bt):
+    """Front-to-back selection over a (rows, TILE) entry table.
 
-    Returns (j, key): the untested cluster whose nearest needing lane is
-    closest (the block-uniform analog of the reference's near-child-first
-    stack order, ray_intersection.cpp:170-189), and that nearest distance.
-    key == +inf means no cluster has any lane with entry < best_t — the
-    whole-tile early-exit condition.
+    Returns (j, key): the untested row whose nearest needing lane is closest
+    (the block-uniform analog of the reference's near-child-first stack
+    order, ray_intersection.cpp:170-189), and that nearest distance.
+    key == +inf means no row has any lane with entry < bound — the
+    whole-tile early-exit condition. Used at both granularities: rows are
+    super-clusters in the outer loop and clusters in the inner loop.
     """
     masked = jnp.where(entry < bt[None, :], entry, jnp.inf)
-    key = jnp.min(masked, axis=1, keepdims=True)  # (SUPER, 1)
+    key = jnp.min(masked, axis=1, keepdims=True)  # (rows, 1)
     j = jnp.argmin(key, axis=0)[0].astype(jnp.int32)
     return j, jnp.min(key)
 
 
-def _make_closest_kernel(leaf: int):
+def _fetch_super(table_hbm, tbuf, sem, cache_tag, s):
+    """DMA super s's (SUPER, rows, cols) table slice HBM->VMEM unless the
+    one-slot cache already holds it."""
+    if os.environ.get("RAYFINDER_DMA_DEBUG") == "uncond":
+        dma = pltpu.make_async_copy(table_hbm.at[s], tbuf, sem)
+        dma.start()
+        dma.wait()
+        return
+
+    @pl.when(cache_tag[0] != s)
+    def _():
+        dma = pltpu.make_async_copy(table_hbm.at[s], tbuf, sem)
+        dma.start()
+        dma.wait()
+        cache_tag[0] = s
+
+
+def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
+    """Inner front-to-back sweep over one super's clusters.
+
+    test_one(j, carry) -> (carry, bound): dense-test cluster j, fold into the
+    carry, return the updated selection bound. Terminates when no cluster has
+    a lane with entry < bound."""
+    j0, k0 = _next_row(cl_entry[:, :], bound0)
+
+    def cond(state):
+        return jnp.isfinite(state[-1])
+
+    def body(state):
+        carry, bound, j, _ = state
+        carry, bound = test_one(j, carry)
+        cl_entry[j, :] = jnp.full((bound.shape[0],), jnp.inf, jnp.float32)
+        j_next, key = _next_row(cl_entry[:, :], bound)
+        return carry, bound, j_next, key
+
+    carry, bound, _, _ = jax.lax.while_loop(cond, body, (carry0, bound0, j0, k0))
+    return carry, bound
+
+
+def _make_closest_kernel(leaf: int, num_supers: int):
     def kernel(
         o_ref, d_ref, tmax_ref, super_min_ref, super_max_ref,
-        cl_min_ref, cl_max_ref, table_ref,
-        t_out_ref, tri_out_ref, super_entry, cl_entry,
+        cl_planes_ref, table_hbm,
+        t_out_ref, tri_out_ref,
+        super_entry, cl_entry, tbuf, cache_tag, sem,
     ):
-        s = pl.program_id(1)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            cache_tag[0] = jnp.int32(-1)
 
         # Statically unrolled loop over the RT ray tiles in this grid step.
         for rt in range(RT):
             (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
                 o_ref, d_ref, tmax_ref, rt
             )
+            super_entry[:, :] = _slab_entry_rows(
+                super_min_ref[:, :], super_max_ref[:, :],
+                ox, oy, oz, ix, iy, iz, tmax,
+            )
+            btri0 = jnp.full((tmax.shape[0],), -1, jnp.int32)
 
-            # First super of a tile: compute all super entries, init outputs.
-            @pl.when(s == 0)
-            def _(rt=rt, ox=ox, oy=oy, oz=oz, ix=ix, iy=iy, iz=iz, tmax=tmax):
-                super_entry[rt] = _slab_entry_rows(
-                    super_min_ref[:, :], super_max_ref[:, :],
-                    ox, oy, oz, ix, iy, iz, tmax,
-                )
-                t_out_ref[rt, 0, :] = tmax
-                tri_out_ref[rt, 0, :] = jnp.full((tmax.shape[0],), -1, jnp.int32)
+            s0, k0 = _next_row(super_entry[:, :], tmax)
 
-            best_t = t_out_ref[rt, 0, :]
-            se = super_entry[rt, s, :]
+            def s_cond(state):
+                return jnp.isfinite(state[3])
 
-            @pl.when(jnp.any(se < best_t))
-            def _(
-                rt=rt, best_t=best_t,
+            def s_body(
+                state,
                 ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
                 ix=ix, iy=iy, iz=iz, tmax=tmax,
             ):
+                bt, btri, s, _ = state
+                _fetch_super(table_hbm, tbuf, sem, cache_tag, s)
                 cl_entry[:, :] = _slab_entry_rows(
-                    cl_min_ref[0], cl_max_ref[0], ox, oy, oz, ix, iy, iz, tmax
+                    cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+                    ox, oy, oz, ix, iy, iz, tmax,
                 )
 
-                # Front-to-back sweep with tile-wide early exit: test the
-                # nearest needed cluster, shrink best_t, re-select. Ordering
-                # cannot change the min-t result (only exact-tie winners); it
-                # makes later clusters fail the `entry < best_t` test so the
-                # loop ends after the few clusters that actually bound the
-                # tile's hits.
-                j0, k0 = _next_cluster(cl_entry[:, :], best_t)
-
-                def cond(carry):
-                    return jnp.isfinite(carry[3])
-
-                def body(carry):
-                    bt, btri, j, _ = carry
+                def test_one(j, carry, s=s, dx=dx, dy=dy, dz=dz,
+                             ox=ox, oy=oy, oz=oz):
+                    bt, btri = carry
                     need = cl_entry[j, :] < bt
-                    v = table_ref[0, j]  # (9, L)
-                    t_cand, slot = _mt_block(v, ox, oy, oz, dx, dy, dz, bt)
+                    t_cand, slot = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, bt)
                     better = need & (t_cand < bt)
                     tri = (s * SUPER + j) * leaf + slot
                     bt = jnp.where(better, t_cand, bt)
                     btri = jnp.where(better, tri, btri)
-                    cl_entry[j, :] = jnp.full((bt.shape[0],), jnp.inf, jnp.float32)
-                    j_next, key = _next_cluster(cl_entry[:, :], bt)
-                    return bt, btri, j_next, key
+                    return (bt, btri), bt
 
-                new_t, new_tri, _, _ = jax.lax.while_loop(
-                    cond, body, (best_t, tri_out_ref[rt, 0, :], j0, k0)
+                (bt, btri), _ = _cluster_sweep(
+                    tbuf, cl_entry, test_one, bt, (bt, btri)
                 )
-                t_out_ref[rt, 0, :] = new_t
-                tri_out_ref[rt, 0, :] = new_tri
+                super_entry[s, :] = jnp.full((bt.shape[0],), jnp.inf, jnp.float32)
+                s_next, key = _next_row(super_entry[:, :], bt)
+                return bt, btri, s_next, key
+
+            bt, btri, _, _ = jax.lax.while_loop(
+                s_cond, s_body, (tmax, btri0, s0, k0)
+            )
+            t_out_ref[rt, 0, :] = bt
+            tri_out_ref[rt, 0, :] = btri
 
     return kernel
 
 
-def _make_any_kernel(leaf: int):
+def _make_any_kernel(leaf: int, num_supers: int):
     def kernel(
         o_ref, d_ref, tmax_ref, super_min_ref, super_max_ref,
-        cl_min_ref, cl_max_ref, table_ref,
-        occ_out_ref, super_entry, cl_entry,
+        cl_planes_ref, table_hbm,
+        occ_out_ref,
+        super_entry, cl_entry, tbuf, cache_tag, sem,
     ):
-        s = pl.program_id(1)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            cache_tag[0] = jnp.int32(-1)
 
         for rt in range(RT):
             (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
                 o_ref, d_ref, tmax_ref, rt
             )
+            super_entry[:, :] = _slab_entry_rows(
+                super_min_ref[:, :], super_max_ref[:, :],
+                ox, oy, oz, ix, iy, iz, tmax,
+            )
 
-            @pl.when(s == 0)
-            def _(rt=rt, ox=ox, oy=oy, oz=oz, ix=ix, iy=iy, iz=iz, tmax=tmax):
-                super_entry[rt] = _slab_entry_rows(
-                    super_min_ref[:, :], super_max_ref[:, :],
+            # Early-exit occlusion sweep: keep testing the nearest super /
+            # cluster any unoccluded lane still overlaps; once every lane is
+            # occluded (or nothing overlaps) the selection key goes +inf.
+            # int32 occlusion carry: Mosaic cannot legalize i1-vector carries.
+            def pending_bound(occ, tmax=tmax):
+                # Unoccluded lanes keep their tmax bound; occluded lanes drop
+                # out by bounding at -inf (no entry can be < -inf).
+                return jnp.where(occ == 0, tmax, -jnp.inf)
+
+            occ0 = jnp.zeros((tmax.shape[0],), jnp.int32)
+            s0, k0 = _next_row(super_entry[:, :], pending_bound(occ0))
+
+            def s_cond(state):
+                return jnp.isfinite(state[2])
+
+            def s_body(
+                state,
+                ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                ix=ix, iy=iy, iz=iz, tmax=tmax, pending_bound=pending_bound,
+            ):
+                occ, s, _ = state
+                _fetch_super(table_hbm, tbuf, sem, cache_tag, s)
+                cl_entry[:, :] = _slab_entry_rows(
+                    cl_planes_ref[s, 0], cl_planes_ref[s, 1],
                     ox, oy, oz, ix, iy, iz, tmax,
                 )
-                occ_out_ref[rt, 0, :] = jnp.zeros((tmax.shape[0],), jnp.int32)
 
-            occluded = occ_out_ref[rt, 0, :]
-            se = super_entry[rt, s, :]
-            active = jnp.isfinite(se) & (occluded == 0)
-
-            @pl.when(jnp.any(active))
-            def _(
-                rt=rt, occluded=occluded,
-                ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
-                ix=ix, iy=iy, iz=iz, tmax=tmax,
-            ):
-                cl_entry[:, :] = _slab_entry_rows(
-                    cl_min_ref[0], cl_max_ref[0], ox, oy, oz, ix, iy, iz, tmax
-                )
-
-                # Early-exit sweep: keep testing the nearest cluster any
-                # unoccluded lane still overlaps; once every lane is occluded
-                # (or nothing overlaps) the selection key goes +inf and the
-                # loop ends. int32 occlusion carry: Mosaic cannot legalize
-                # i1-vector carries.
-                def pending_bound(occ):
-                    # Unoccluded lanes keep their tmax bound; occluded lanes
-                    # drop out by bounding at -inf (no entry can be < -inf).
-                    return jnp.where(occ == 0, tmax, -jnp.inf)
-
-                j0, k0 = _next_cluster(cl_entry[:, :], pending_bound(occluded))
-
-                def cond(carry):
-                    return jnp.isfinite(carry[2])
-
-                def body(carry):
-                    occ, j, _ = carry
+                def test_one(j, occ, dx=dx, dy=dy, dz=dz,
+                             ox=ox, oy=oy, oz=oz, tmax=tmax):
                     need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
-                    v = table_ref[0, j]
-                    t_cand, _ = _mt_block(v, ox, oy, oz, dx, dy, dz, tmax)
+                    t_cand, _ = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, tmax)
                     occ = jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
-                    cl_entry[j, :] = jnp.full((occ.shape[0],), jnp.inf, jnp.float32)
-                    j_next, key = _next_cluster(cl_entry[:, :], pending_bound(occ))
-                    return occ, j_next, key
+                    return occ, pending_bound(occ)
 
-                occ_fin, _, _ = jax.lax.while_loop(cond, body, (occluded, j0, k0))
-                occ_out_ref[rt, 0, :] = occ_fin
+                occ, _ = _cluster_sweep(
+                    tbuf, cl_entry, test_one, pending_bound(occ), occ
+                )
+                super_entry[s, :] = jnp.full((occ.shape[0],), jnp.inf, jnp.float32)
+                s_next, key = _next_row(super_entry[:, :], pending_bound(occ))
+                return occ, s_next, key
+
+            occ, _, _ = jax.lax.while_loop(s_cond, s_body, (occ0, s0, k0))
+            occ_out_ref[rt, 0, :] = occ
 
     return kernel
 
@@ -298,7 +346,9 @@ def _prep_rays(origin, direction, t_max):
 
 def _scene_tables(scene):
     """Pad clusters to a SUPER multiple; emit the kernel layouts:
-    table (S, SUPER, 9, L), super planes (3, S), cluster planes (S, 3, SUPER)."""
+    table (S, 9, SUPER, L) — vertex rows leading so a super's DMA slice has
+    aligned (SUPER, L) minor dims — super planes (3, S), cluster planes
+    (S, 2, 3, SUPER) — [s, 0] mins, [s, 1] maxs."""
     num_clusters, leaf = scene.cluster_tris.shape[:2]
     num_supers = -(-num_clusters // SUPER)
     pad = num_supers * SUPER - num_clusters
@@ -312,14 +362,15 @@ def _scene_tables(scene):
         cl_min = jnp.concatenate([cl_min, jnp.full((pad, 3), _FAR)], axis=0)
         cl_max = jnp.concatenate([cl_max, jnp.full((pad, 3), _FAR)], axis=0)
 
-    table = table.reshape(num_supers, SUPER, 9, leaf)
+    table = table.reshape(num_supers, SUPER, 9, leaf).transpose(0, 2, 1, 3)
     groups_min = cl_min.reshape(num_supers, SUPER, 3)
     groups_max = cl_max.reshape(num_supers, SUPER, 3)
     super_min = jnp.min(groups_min, axis=1).T  # (3, S)
     super_max = jnp.max(groups_max, axis=1).T
-    cl_min_rows = groups_min.transpose(0, 2, 1)  # (S, 3, SUPER)
-    cl_max_rows = groups_max.transpose(0, 2, 1)
-    return table, super_min, super_max, cl_min_rows, cl_max_rows
+    cl_planes = jnp.stack(
+        [groups_min.transpose(0, 2, 1), groups_max.transpose(0, 2, 1)], axis=1
+    )  # (S, 2, 3, SUPER)
+    return table, super_min, super_max, cl_planes
 
 
 def _interpret() -> bool:
@@ -333,39 +384,40 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
 
     o, d, tm, tiles, n = _prep_rays(origin, direction, t_max)
-    table, super_min, super_max, cl_min_rows, cl_max_rows = _scene_tables(scene)
+    table, super_min, super_max, cl_planes = _scene_tables(scene)
     num_supers = table.shape[0]
 
     def full(shape):
         zeros = tuple(0 for _ in shape)
-        return pl.BlockSpec(shape, lambda i, s, z=zeros: z, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
-        kernel_factory(leaf),
-        grid=(tiles // RT, num_supers),
+        kernel_factory(leaf, num_supers),
+        grid=(tiles // RT,),
         in_specs=[
-            pl.BlockSpec((RT, 3, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, 3, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, 1, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 3, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 3, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             full(super_min.shape),
             full(super_max.shape),
-            pl.BlockSpec((1, 3, SUPER), lambda i, s: (s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, SUPER), lambda i, s: (s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, SUPER, 9, leaf), lambda i, s: (s, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
+            full(cl_planes.shape),
+            # The triangle table stays in HBM; supers are DMA'd on demand.
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((RT, 1, TILE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((RT, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
             for _ in out_dtypes
         ],
         out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), dt) for dt in out_dtypes],
         scratch_shapes=[
-            pltpu.VMEM((RT, num_supers, TILE), jnp.float32),
+            pltpu.VMEM((num_supers, TILE), jnp.float32),
             pltpu.VMEM((SUPER, TILE), jnp.float32),
+            pltpu.VMEM((9, SUPER, leaf), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_interpret(),
-    )(o, d, tm, super_min, super_max, cl_min_rows, cl_max_rows, table)
+    )(o, d, tm, super_min, super_max, cl_planes, table)
     return outs, n, t_max
 
 

@@ -44,6 +44,8 @@ FRAC_1_PI = np.float32(1.0 / np.pi)
 # Scenes with more clusters than this re-sort bounce rays for tile coherence
 # (see trace_radiance); env-overridable for tuning scans.
 SORT_THRESHOLD = int(os.environ.get("RAYFINDER_SORT_THRESHOLD", "256"))
+# Position bits per axis in the bounce-coherence sort key.
+_SORT_BITS = int(os.environ.get("RAYFINDER_SORT_BITS", "5"))
 
 
 class SamplingParams(NamedTuple):
@@ -176,10 +178,12 @@ def trace_radiance(
             + 4 * (d[:, 2] < 0).astype(jnp.int32)
         )
         cell = jnp.clip(((o - scene_lo) * scene_inv), 0.0, 1023.0).astype(jnp.int32)
-        # 5 bits per axis of position under the 3-bit octant: coherent cones
-        # from coherent places sort together.
-        pos_key = (cell[:, 0] >> 5 << 10) | (cell[:, 1] >> 5 << 5) | (cell[:, 2] >> 5)
-        key = (octant << 15) | pos_key
+        # SORT_BITS bits per axis of position under the 3-bit octant:
+        # coherent cones from coherent places sort together.
+        b = _SORT_BITS
+        sh = 10 - b
+        pos_key = (cell[:, 0] >> sh << (2 * b)) | (cell[:, 1] >> sh << b) | (cell[:, 2] >> sh)
+        key = (octant << (3 * b)) | pos_key
         return jnp.where(live, key, jnp.int32(2**30))
 
     for bounce in range(1, num_bounces + 1):

@@ -1,0 +1,55 @@
+"""Path-regeneration accumulator vs the scan form: same physics, same noise
+stream, near-identical f32 accumulation (residual = XLA fusion variance)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rayfinder_tpu.render.camera import create_camera
+from rayfinder_tpu.render.pathtracer import (
+    accumulate_samples,
+    accumulate_samples_regen,
+)
+from rayfinder_tpu.render.rng import blue_noise_tile
+from rayfinder_tpu.sky.model import sky_state_from_ui
+
+
+def test_regen_matches_scan(duck_device_scene):
+    w, h, spp, nb = 64, 48, 4, 3
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.3, 2.5, 70.0, w / h)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=nb, spp=spp, num_frames=spp,
+              engine="wavefront")
+
+    scan = accumulate_samples(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), **kw,
+    )
+    regen = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(regen), np.asarray(scan), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_regen_respects_frame_base(duck_device_scene):
+    """Two regen dispatches of spp/2 frames == one dispatch of spp frames."""
+    w, h, spp = 32, 24, 4
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, w / h)
+    sky = sky_state_from_ui(2.0, (0.5, 0.5, 0.5), 45.0, 90.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=2, spp=spp, engine="wavefront")
+
+    one = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), num_frames=spp, **kw,
+    )
+    two = jnp.zeros((w * h, 3), jnp.float32)
+    for base in (0, spp // 2):
+        two = accumulate_samples_regen(
+            duck_device_scene, sky, cam, tile, jnp.int32(base), two,
+            num_frames=spp // 2, **kw,
+        )
+    np.testing.assert_allclose(np.asarray(two), np.asarray(one), rtol=1e-5, atol=1e-6)
