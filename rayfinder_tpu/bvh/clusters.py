@@ -27,12 +27,13 @@ DEFAULT_LEAF_SIZE = int(os.environ.get("RAYFINDER_LEAF", "128"))
 
 @dataclasses.dataclass
 class ClusterSet:
-    """Host-side cluster arrays (C clusters of L triangles each)."""
+    """Host-side cluster arrays (C clusters of up to L triangles each)."""
 
     tris: np.ndarray  # (C, L, 3, 3) f32, padded blocks
     aabb_min: np.ndarray  # (C, 3) f32
     aabb_max: np.ndarray  # (C, 3) f32
     tri_map: np.ndarray  # (C * L,) int32: padded slot -> real triangle index
+    start: np.ndarray  # (C,) int32: first leaf-order triangle of each cluster
 
     @property
     def num_clusters(self) -> int:
@@ -43,36 +44,105 @@ class ClusterSet:
         return self.tris.shape[1]
 
 
-def build_clusters(tri_positions: np.ndarray, leaf_size: int = DEFAULT_LEAF_SIZE) -> ClusterSet:
-    """Chunk leaf-ordered triangles into padded fixed-size clusters.
+def treelet_ranges(bvh, leaf_size: int) -> np.ndarray:
+    """Cut the BVH into maximal subtrees of <= leaf_size triangles, then
+    greedily merge consecutive cuts that still fit.
+
+    Because the builder flattens depth-first and reorders triangles into leaf
+    order (bvh.cpp:263-291), every subtree covers a CONTIGUOUS leaf-order
+    range — so treelet clusters are ranges [start, end) whose AABBs respect
+    the tree's own spatial splits, much tighter than blind fixed chunks at
+    branch boundaries. Returns (C, 2) int64 [start, end) ranges.
+    """
+    tc = np.asarray(bvh.triangle_count, np.int64)
+    off = np.asarray(bvh.triangles_offset, np.int64)
+    sc = np.asarray(bvh.second_child_offset, np.int64)
+    num_tris = int(tc[tc > 0].sum())
+
+    cuts = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if tc[i] > 0:
+            cuts.append((int(off[i]), int(off[i] + tc[i])))
+            continue
+        # Subtree triangle range = [min leaf offset, max leaf end) — compute
+        # lazily: a subtree of an in-order leaf layout spans from its
+        # leftmost leaf's offset to its rightmost leaf's end. Walk down the
+        # left spine for start and right spine for end.
+        lo = i
+        while tc[lo] == 0:
+            lo = lo + 1
+        hi = i
+        while tc[hi] == 0:
+            hi = int(sc[hi])
+        start, end = int(off[lo]), int(off[hi] + tc[hi])
+        if end - start <= leaf_size:
+            cuts.append((start, end))
+        else:
+            stack.append(int(sc[i]))
+            stack.append(i + 1)
+    cuts.sort()
+    assert cuts[0][0] == 0 and cuts[-1][1] == num_tris
+
+    merged = []
+    cs, ce = cuts[0]
+    for s, e in cuts[1:]:
+        if e - cs <= leaf_size:
+            ce = e
+        else:
+            merged.append((cs, ce))
+            cs, ce = s, e
+    merged.append((cs, ce))
+    return np.asarray(merged, np.int64)
+
+
+def build_clusters(
+    tri_positions: np.ndarray,
+    leaf_size: int = DEFAULT_LEAF_SIZE,
+    ranges: np.ndarray | None = None,
+) -> ClusterSet:
+    """Chunk leaf-ordered triangles into padded fixed-size cluster blocks.
+
+    ranges: optional (C, 2) [start, end) leaf-order ranges (treelet_ranges);
+    default = blind consecutive chunks of leaf_size.
 
     Padding slots are DEGENERATE (all-zero) triangles: Möller-Trumbore rejects
     them unconditionally (|det| = 0 < EPSILON), so a padded slot can never win
-    an argmin — which makes `cluster_idx * leaf + slot` the real leaf-order
+    an argmin — which makes `start[cluster] + slot` the real leaf-order
     triangle index directly, with no remap gather on the hot path. tri_map is
-    kept (identity, tail clamped in-range) for engines that still index it.
-    Cluster AABBs cover only the real triangles.
+    kept (range layout, padding clamped in-range) for engines that still
+    index it. Cluster AABBs cover only the real triangles.
     """
     tri_positions = np.ascontiguousarray(tri_positions, dtype=np.float32)
     num_tris = tri_positions.shape[0]
-    num_clusters = -(-num_tris // leaf_size)
-    padded = num_clusters * leaf_size
+    if ranges is None:
+        num_clusters = -(-num_tris // leaf_size)
+        starts = np.arange(num_clusters, dtype=np.int64) * leaf_size
+        ends = np.minimum(starts + leaf_size, num_tris)
+    else:
+        starts = np.asarray(ranges[:, 0], np.int64)
+        ends = np.asarray(ranges[:, 1], np.int64)
+        num_clusters = starts.shape[0]
+    counts = ends - starts
+    assert counts.max() <= leaf_size
 
-    tri_map = np.arange(padded, dtype=np.int32)
-    tris = np.zeros((padded, 3, 3), dtype=np.float32)
-    tris[:num_tris] = tri_positions
-    if padded > num_tris:
-        tri_map[num_tris:] = (num_clusters - 1) * leaf_size
+    blocks = np.zeros((num_clusters, leaf_size, 3, 3), dtype=np.float32)
+    tri_map = np.empty((num_clusters, leaf_size), dtype=np.int32)
+    slot = np.arange(leaf_size, dtype=np.int64)
+    idx = starts[:, None] + slot[None, :]  # (C, L) candidate indices
+    valid = slot[None, :] < counts[:, None]
+    idx_clamped = np.minimum(idx, num_tris - 1)
+    blocks[valid] = tri_positions[idx_clamped[valid]]
+    tri_map[:, :] = np.where(valid, idx_clamped, starts[:, None]).astype(np.int32)
 
-    blocks = tris.reshape(num_clusters, leaf_size, 3, 3)
-    # AABBs over real triangles only (the zero padding would otherwise drag
-    # the last cluster's box to the origin).
-    mask = (np.arange(padded) < num_tris).reshape(num_clusters, leaf_size, 1, 1)
+    mask = valid[:, :, None, None]
     aabb_min = np.where(mask, blocks, np.inf).min(axis=(1, 2))
     aabb_max = np.where(mask, blocks, -np.inf).max(axis=(1, 2))
     return ClusterSet(
         tris=blocks,
         aabb_min=aabb_min,
         aabb_max=aabb_max,
-        tri_map=tri_map,
+        tri_map=tri_map.reshape(-1),
+        start=starts.astype(np.int32),
     )

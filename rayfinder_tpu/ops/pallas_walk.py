@@ -191,7 +191,7 @@ def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
 
 def _make_closest_kernel(leaf: int, num_supers: int):
     def kernel(
-        o_ref, d_ref, tmax_ref, super_min_ref, super_max_ref,
+        o_ref, d_ref, tmax_ref, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
         t_out_ref, tri_out_ref,
         super_entry, cl_entry, tbuf, cache_tag, sem,
@@ -236,7 +236,10 @@ def _make_closest_kernel(leaf: int, num_supers: int):
                     need = cl_entry[j, :] < bt
                     t_cand, slot = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, bt)
                     better = need & (t_cand < bt)
-                    tri = (s * SUPER + j) * leaf + slot
+                    # Treelet clusters are variable-length leaf ranges; the
+                    # scalar start rides in SMEM (padding never wins: its
+                    # triangles are degenerate).
+                    tri = start_ref[s * SUPER + j] + slot
                     bt = jnp.where(better, t_cand, bt)
                     btri = jnp.where(better, tri, btri)
                     return (bt, btri), bt
@@ -259,7 +262,7 @@ def _make_closest_kernel(leaf: int, num_supers: int):
 
 def _make_any_kernel(leaf: int, num_supers: int):
     def kernel(
-        o_ref, d_ref, tmax_ref, super_min_ref, super_max_ref,
+        o_ref, d_ref, tmax_ref, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
         occ_out_ref,
         super_entry, cl_entry, tbuf, cache_tag, sem,
@@ -370,7 +373,10 @@ def _scene_tables(scene):
     cl_planes = jnp.stack(
         [groups_min.transpose(0, 2, 1), groups_max.transpose(0, 2, 1)], axis=1
     )  # (S, 2, 3, SUPER)
-    return table, super_min, super_max, cl_planes
+    starts = scene.cluster_start
+    if pad:
+        starts = jnp.concatenate([starts, jnp.zeros((pad,), jnp.int32)])
+    return table, starts, super_min, super_max, cl_planes
 
 
 def _interpret() -> bool:
@@ -384,7 +390,7 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
 
     o, d, tm, tiles, n = _prep_rays(origin, direction, t_max)
-    table, super_min, super_max, cl_planes = _scene_tables(scene)
+    table, starts, super_min, super_max, cl_planes = _scene_tables(scene)
     num_supers = table.shape[0]
 
     def full(shape):
@@ -398,6 +404,8 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
             pl.BlockSpec((RT, 3, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RT, 3, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RT, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # Per-cluster start offsets: scalars, read one at a time.
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             full(super_min.shape),
             full(super_max.shape),
             full(cl_planes.shape),
@@ -417,7 +425,7 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_interpret(),
-    )(o, d, tm, super_min, super_max, cl_planes, table)
+    )(o, d, tm, starts, super_min, super_max, cl_planes, table)
     return outs, n, t_max
 
 

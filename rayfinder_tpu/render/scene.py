@@ -45,11 +45,13 @@ class DeviceScene:
     tex_desc: Any  # (K, 3) i32 packed [width, height, offset] descriptor rows
     texels: Any  # (P,) uint32 packed BGRA
 
-    # Triangle clusters for the TPU wavefront engine (bvh/clusters.py)
+    # Triangle clusters for the TPU wavefront engine (bvh/clusters.py).
+    # Clusters are BVH-treelet-aligned leaf-order ranges (tight AABBs).
     cluster_tris: Any  # (C, L, 3, 3) f32 padded blocks
     cluster_min: Any  # (C, 3) f32
     cluster_max: Any  # (C, 3) f32
     cluster_tri_map: Any  # (C * L,) i32 padded slot -> real triangle
+    cluster_start: Any  # (C,) i32 first leaf-order triangle of each cluster
 
     # Packed per-triangle shading attributes: one 25-float row per triangle
     # (9 positions, 9 normals, 6 uvs, texture index as bitcast f32) so the
@@ -96,7 +98,11 @@ def build_device_scene(
         # Default white texel: BGRA 0xFFFFFFFF.
         texels = np.asarray([0xFFFFFFFF], dtype=np.uint32)
 
-    clusters = build_clusters(positions)
+    from ..bvh.clusters import DEFAULT_LEAF_SIZE, treelet_ranges
+
+    clusters = build_clusters(
+        positions, ranges=treelet_ranges(bvh, DEFAULT_LEAF_SIZE)
+    )
 
     num_tris = positions.shape[0]
     tri_attrs = np.empty((num_tris, 25), dtype=np.float32)
@@ -127,6 +133,7 @@ def build_device_scene(
         cluster_min=jnp.asarray(clusters.aabb_min),
         cluster_max=jnp.asarray(clusters.aabb_max),
         cluster_tri_map=jnp.asarray(clusters.tri_map),
+        cluster_start=jnp.asarray(clusters.start),
         tri_attrs=jnp.asarray(tri_attrs),
     )
 

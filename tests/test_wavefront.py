@@ -87,14 +87,25 @@ def test_any_hit_matches_reference(duck_device_scene, rng):
 
 
 def test_cluster_tri_map_roundtrip(duck_device_scene):
+    """Clusters are treelet-aligned leaf-order ranges: every real slot of
+    cluster c holds triangle start[c] + slot, every real triangle appears
+    exactly once, and padded slots are degenerate (all-zero)."""
     scene = duck_device_scene
     c, l = scene.cluster_tris.shape[:2]
-    tri_map = np.asarray(scene.cluster_tri_map)
-    assert tri_map.shape == (c * l,)
+    tri_map = np.asarray(scene.cluster_tri_map).reshape(c, l)
+    start = np.asarray(scene.cluster_start)
     n_real = scene.num_triangles
-    # Real slots map to themselves; padded slots map to a real triangle.
-    np.testing.assert_array_equal(tri_map[:n_real], np.arange(n_real))
-    assert np.all(tri_map[n_real:] < n_real)
-    # Cluster blocks hold the leaf-ordered triangles.
-    blocks = np.asarray(scene.cluster_tris).reshape(c * l, 3, 3)
-    np.testing.assert_array_equal(blocks[:n_real], np.asarray(scene.tri_positions))
+    assert np.all(tri_map < n_real)
+
+    positions = np.asarray(scene.tri_positions)
+    blocks = np.asarray(scene.cluster_tris)
+    covered = np.zeros(n_real, bool)
+    for ci in range(c):
+        real = blocks[ci].reshape(l, 9).any(axis=1)  # degenerate padding = 0
+        slots = np.flatnonzero(real)
+        # Real slots are a contiguous prefix mapping to start + slot.
+        np.testing.assert_array_equal(slots, np.arange(slots.size))
+        np.testing.assert_array_equal(tri_map[ci, slots], start[ci] + slots)
+        np.testing.assert_array_equal(blocks[ci, slots], positions[start[ci] + slots])
+        covered[start[ci] + slots] = True
+    assert covered.all()
