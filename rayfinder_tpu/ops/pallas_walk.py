@@ -45,6 +45,21 @@ TILE = int(os.environ.get("RAYFINDER_TILE", "512"))  # rays per tile (32x16 pixe
 # Ray tiles processed per grid step: amortizes the ~4us fixed cost of a
 # Mosaic grid step (measured on v5e: a no-op kernel at 469 steps costs ~2ms).
 RT = int(os.environ.get("RAYFINDER_RT", "8"))
+# Big scenes prune better with finer tiles (the tile-union of overlapped
+# clusters shrinks faster than the per-test cost grows): measured 3.9 -> 3.3
+# s/sample on the 254K-tri courtyard at 720p. Scene shapes are static under
+# jit, so the pick happens at trace time. Env TILE/RT force both paths.
+_BIG_TILE = int(os.environ.get("RAYFINDER_BIG_TILE", "256"))
+_BIG_RT = int(os.environ.get("RAYFINDER_BIG_RT", "16"))
+_BIG_CLUSTERS = int(os.environ.get("RAYFINDER_BIG_CLUSTERS", "512"))
+
+
+def _pick_tile(num_clusters: int) -> tuple[int, int]:
+    if "RAYFINDER_TILE" in os.environ or "RAYFINDER_RT" in os.environ:
+        return TILE, RT
+    if num_clusters > _BIG_CLUSTERS:
+        return _BIG_TILE, _BIG_RT
+    return TILE, RT
 _FAR = np.float32(1e30)  # padded-cluster AABB plane: slab test always misses
 
 
@@ -189,7 +204,7 @@ def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
     return carry, bound
 
 
-def _make_closest_kernel(leaf: int, num_supers: int):
+def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int):
     def kernel(
         o_ref, d_ref, tmax_ref, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
@@ -202,8 +217,8 @@ def _make_closest_kernel(leaf: int, num_supers: int):
         def _():
             cache_tag[0] = jnp.int32(-1)
 
-        # Statically unrolled loop over the RT ray tiles in this grid step.
-        for rt in range(RT):
+        # Statically unrolled loop over the ray tiles in this grid step.
+        for rt in range(rt_count):
             (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
                 o_ref, d_ref, tmax_ref, rt
             )
@@ -260,7 +275,7 @@ def _make_closest_kernel(leaf: int, num_supers: int):
     return kernel
 
 
-def _make_any_kernel(leaf: int, num_supers: int):
+def _make_any_kernel(leaf: int, num_supers: int, rt_count: int):
     def kernel(
         o_ref, d_ref, tmax_ref, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
@@ -273,7 +288,7 @@ def _make_any_kernel(leaf: int, num_supers: int):
         def _():
             cache_tag[0] = jnp.int32(-1)
 
-        for rt in range(RT):
+        for rt in range(rt_count):
             (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
                 o_ref, d_ref, tmax_ref, rt
             )
@@ -329,10 +344,10 @@ def _make_any_kernel(leaf: int, num_supers: int):
     return kernel
 
 
-def _prep_rays(origin, direction, t_max):
-    """Pad to a TILE*RT multiple and lay out as (tiles, 3, TILE) SoA."""
+def _prep_rays(origin, direction, t_max, tile: int, rt: int):
+    """Pad to a tile*rt multiple and lay out as (tiles, 3, tile) SoA."""
     num_rays = origin.shape[0]
-    padded = -(-num_rays // (TILE * RT)) * (TILE * RT)
+    padded = -(-num_rays // (tile * rt)) * (tile * rt)
     pad = padded - num_rays
     if pad:
         origin = jnp.concatenate([origin, jnp.full((pad, 3), 1e30, jnp.float32)])
@@ -340,10 +355,10 @@ def _prep_rays(origin, direction, t_max):
             [direction, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (pad, 1))]
         )
         t_max = jnp.concatenate([t_max, jnp.full((pad,), 1.0, jnp.float32)])
-    tiles = padded // TILE
-    o = origin.reshape(tiles, TILE, 3).transpose(0, 2, 1)
-    d = direction.reshape(tiles, TILE, 3).transpose(0, 2, 1)
-    tm = t_max.reshape(tiles, 1, TILE)
+    tiles = padded // tile
+    o = origin.reshape(tiles, tile, 3).transpose(0, 2, 1)
+    d = direction.reshape(tiles, tile, 3).transpose(0, 2, 1)
+    tm = t_max.reshape(tiles, 1, tile)
     return o, d, tm, tiles, num_rays
 
 
@@ -389,7 +404,8 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
     num_rays = origin.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
 
-    o, d, tm, tiles, n = _prep_rays(origin, direction, t_max)
+    tile, rt = _pick_tile(scene.cluster_tris.shape[0])
+    o, d, tm, tiles, n = _prep_rays(origin, direction, t_max, tile, rt)
     table, starts, super_min, super_max, cl_planes = _scene_tables(scene)
     num_supers = table.shape[0]
 
@@ -398,12 +414,12 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
         return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
-        kernel_factory(leaf, num_supers),
-        grid=(tiles // RT,),
+        kernel_factory(leaf, num_supers, rt),
+        grid=(tiles // rt,),
         in_specs=[
-            pl.BlockSpec((RT, 3, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, 3, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             # Per-cluster start offsets: scalars, read one at a time.
             pl.BlockSpec(memory_space=pltpu.SMEM),
             full(super_min.shape),
@@ -413,13 +429,13 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((RT, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((rt, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
             for _ in out_dtypes
         ],
-        out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), dt) for dt in out_dtypes],
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, tile), dt) for dt in out_dtypes],
         scratch_shapes=[
-            pltpu.VMEM((num_supers, TILE), jnp.float32),
-            pltpu.VMEM((SUPER, TILE), jnp.float32),
+            pltpu.VMEM((num_supers, tile), jnp.float32),
+            pltpu.VMEM((SUPER, tile), jnp.float32),
             pltpu.VMEM((9, SUPER, leaf), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
