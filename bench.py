@@ -26,7 +26,7 @@ DUCK = "/root/reference/assets/Duck.glb"
 WIDTH, HEIGHT = 800, 600
 BOUNCES = 4
 WARMUP_SAMPLES = 2
-TIMED_SAMPLES = 8
+TIMED_SAMPLES = int(os.environ.get("RAYFINDER_BENCH_SAMPLES", "64"))
 TARGET_MRAYS = 200.0
 
 

@@ -623,7 +623,7 @@ def render_image(
     sampling: SamplingParams = SamplingParams(),
     exposure: float = 1.0,
     engine: str = "pallas",
-    samples_per_dispatch: int = 16,
+    samples_per_dispatch: int = 32,
 ) -> np.ndarray:
     """Render a full image: spp progressive samples, running-mean estimator,
     ACES tonemap + gamma (wgsl:59-63). Returns (H, W, 3) float32 in [0, 1]."""
