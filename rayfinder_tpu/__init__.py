@@ -44,6 +44,10 @@ def __getattr__(name):
     raise AttributeError(f"module 'rayfinder_tpu' has no attribute {name!r}")
 
 
+def __dir__():
+    return sorted(set(globals()) | set(__all__))
+
+
 __all__ = [
     "load_scene",
     "render_image",

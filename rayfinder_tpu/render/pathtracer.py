@@ -636,11 +636,13 @@ def render_image(
     # Path regeneration keeps lanes occupied on scenes whose bounce rays stay
     # tile-coherent without the re-sort; sorted scenes keep the scan form
     # (the sort permutes lanes, which regen's lane==pixel invariant forbids).
-    accumulate = (
-        accumulate_samples_regen
-        if scene.cluster_tris.shape[0] <= SORT_THRESHOLD
-        else accumulate_samples
-    )
+    big_scene = scene.cluster_tris.shape[0] > SORT_THRESHOLD
+    accumulate = accumulate_samples if big_scene else accumulate_samples_regen
+    if big_scene:
+        # Cap device time per dispatch: a single multi-minute program can
+        # crash the TPU worker (observed on a 254K-tri 1080p 32-sample
+        # dispatch); big scenes take seconds per sample.
+        samples_per_dispatch = min(samples_per_dispatch, 4)
     frame_idx = 0
     while frame_idx < spp:
         batch = min(samples_per_dispatch, spp - frame_idx)
