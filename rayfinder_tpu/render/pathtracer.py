@@ -46,6 +46,27 @@ FRAC_1_PI = np.float32(1.0 / np.pi)
 SORT_THRESHOLD = int(os.environ.get("RAYFINDER_SORT_THRESHOLD", "256"))
 # Position bits per axis in the bounce-coherence sort key.
 _SORT_BITS = int(os.environ.get("RAYFINDER_SORT_BITS", "5"))
+# Regen compaction (accumulate_samples_regen): when the live-lane count falls
+# below 1/DIV of the current batch, the busy lanes are compacted into a batch
+# 1/DIV the size (repeatedly, down to FLOOR lanes). Measured on Duck 64spp:
+# the while loop runs 220 iterations but only the first ~64 are full — the
+# tail holds <9% live lanes yet costs the same per iteration as a full one.
+_COMPACT_DIV = int(os.environ.get("RAYFINDER_COMPACT_DIV", "8"))
+_COMPACT_FLOOR = int(os.environ.get("RAYFINDER_COMPACT_FLOOR", "8192"))
+
+
+def _phase_sizes(batch: int, floor: int) -> list[int]:
+    """Regen phase lane counts: [batch, batch/DIV, ...] down to `floor`.
+    Sizes are rounded up to a 2048-lane granularity (small floors — tests —
+    shrink the granularity so multiple levels still exist)."""
+    gran = min(2048, max(floor, 16))
+    sizes = [batch]
+    while sizes[-1] > floor:
+        nxt = max(floor, -(-sizes[-1] // _COMPACT_DIV // gran) * gran)
+        if nxt >= sizes[-1]:
+            break
+        sizes.append(nxt)
+    return sizes
 
 
 class SamplingParams(NamedTuple):
@@ -359,7 +380,10 @@ def accumulate_samples(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "num_bounces", "spp", "num_frames", "engine"),
+    static_argnames=(
+        "width", "height", "num_bounces", "spp", "num_frames", "engine",
+        "compact_floor",
+    ),
     donate_argnums=(5,),
 )
 def accumulate_samples_regen(
@@ -376,6 +400,7 @@ def accumulate_samples_regen(
     spp: int,
     num_frames: int,
     engine: str = "pallas",
+    compact_floor: int | None = None,
 ):
     """accumulate_samples with PATH REGENERATION (persistent wavefront, after
     Laine et al. 2013): each lane owns one pixel and traces its `num_frames`
@@ -385,10 +410,21 @@ def accumulate_samples_regen(
     scan formulation's mostly-dead deep-bounce passes (~85% of lanes die at
     bounce 1 on open scenes).
 
+    Regeneration alone still runs the loop until the SLOWEST lane finishes:
+    pixels on high-bounce geometry need ~num_bounces segments per sample while
+    sky pixels need one, so after ~num_frames iterations the live fraction
+    collapses (measured 8.9% on Duck) yet each tail iteration costs the same
+    as a full one. So the loop is PHASED: when the live count drops below the
+    next phase size, busy lanes are compacted (jnp.nonzero gather) into a
+    batch 1/_COMPACT_DIV the size and the loop continues at that width,
+    scatter-adding finished samples back to their pixels. Compaction keeps
+    lanes in block-major pixel order, so traversal-tile coherence survives.
+
     Per-pixel arithmetic is bit-identical to accumulate_samples: the same
     noise stream per (pixel, frame), the same contribution order within a
-    sample, and the same f32 accumulation grouping (lane radiance starts from
-    `accum` and adds one finished sample at a time, in sample order).
+    sample, and the same f32 accumulation grouping (each pixel's radiance
+    starts from `accum` and adds one finished sample at a time, in sample
+    order — compaction never reorders a single pixel's additions).
     """
     closest, any_hit = get_engine(engine)
     from .rng import _A1, _A2
@@ -400,35 +436,118 @@ def accumulate_samples_regen(
     u = (xs.astype(jnp.float32) + 0.5) / jnp.float32(width)
     v_tex = (ys.astype(jnp.float32) + 0.5) / jnp.float32(height)
     batch = u.shape[0]
+    nf = jnp.int32(num_frames)
 
     # The blue-noise tile value is a pure function of the pixel: gather ONCE
     # per dispatch; per-sample noise is that base plus the frame's R2 offset
     # (arithmetic only) — no per-step gathers (rng.animated_blue_noise).
     th, tw = blue_noise_tile.shape[0], blue_noise_tile.shape[1]
-    noise_base = blue_noise_tile[ys % th, xs % tw]  # (B, 2)
+    noise_base_full = blue_noise_tile[ys % th, xs % tw]  # (B, 2)
 
-    def noise_of(sample_idx):
+    inv_dims = jnp.float32(1.0) / jnp.asarray([width, height], jnp.float32)
+    sun_dir = jnp.asarray(sky.sun_direction)
+    solar_radiance = jnp.asarray(sky.solar_radiances)
+    park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
+
+    def _noise_of(noise_base, sample_idx):
         n = ((frame_base + sample_idx) % jnp.int32(spp)).astype(jnp.float32)
         r2 = jnp.stack([_A1 * n, _A2 * n], axis=-1)
         r2 = r2 - jnp.floor(r2)
         out = noise_base + r2
         return out - jnp.floor(out)
 
-    inv_dims = jnp.float32(1.0) / jnp.asarray([width, height], jnp.float32)
-
-    def primary(noise):
+    def _primary(u, v_tex, noise):
         jitter = noise * inv_dims
         ray_u = u + jitter[:, 0]
         ray_v = (jnp.float32(1.0) - v_tex) + jitter[:, 1]
         return generate_camera_ray_lens(camera, noise, ray_u, ray_v)
 
-    sun_dir = jnp.asarray(sky.sun_direction)
-    solar_radiance = jnp.asarray(sky.solar_radiances)
-    park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
+    def make_phase(u, v_tex, noise_base, pix):
+        """Loop body over lanes with per-lane pixel data (u, v_tex,
+        noise_base). pix None: lane == pixel, lrad is lane-aligned. pix given:
+        compacted lanes, lrad stays full-size and finished samples scatter-add
+        to their pixel (out-of-range pix rows — padding — are dropped)."""
+
+        def noise_of(sample_idx):
+            return _noise_of(noise_base, sample_idx)
+
+        def primary(noise):
+            return _primary(u, v_tex, noise)
+
+        def body(st):
+            sample, bounce, origin, direction, thr, srad, lrad, noise = st
+            live = sample < nf
+            origin = jnp.where(live[:, None], origin, park)
+
+            hit, _, tri_idx, _ = closest(scene, origin, direction, T_MAX)
+            hit_lane = live & hit
+            miss_lane = live & ~hit
+
+            # --- miss: sky radiance (sun excluded; it arrives via NEE) ---
+            theta = jnp.arccos(jnp.clip(direction[:, 1], -1.0, 1.0))
+            gamma = jnp.arccos(
+                jnp.clip(jnp.sum(direction * sun_dir, axis=-1), -1.0, 1.0)
+            )
+            sky_rgb = sky_radiance_dist(sky, theta, gamma)
+            srad = jnp.where(miss_lane[:, None], srad + thr * sky_rgb, srad)
+
+            # --- hit: NEE toward the solar disk ---
+            safe_tri = jnp.maximum(tri_idx, 0)
+            p, n, uv, tex, _ = _surface_interaction(scene, origin, direction, safe_tri)
+            albedo = eval_texture(scene, tex, uv)
+            light_dir = sample_solar_disk_direction(noise, SOLAR_COS_THETA_MAX, sun_dir)
+            brdf = albedo * FRAC_1_PI
+            cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
+            p_ok = jnp.all(jnp.isfinite(p), axis=-1)
+            shadow_origin = jnp.where((hit_lane & p_ok)[:, None], p, park)
+            occluded = any_hit(
+                scene, shadow_origin, jnp.broadcast_to(light_dir, p.shape), T_MAX
+            )
+            visibility = jnp.where(occluded, jnp.float32(0.0), jnp.float32(1.0))[:, None]
+            contrib = thr * solar_radiance * brdf * cos_term * visibility * SOLAR_INV_PDF
+            srad = jnp.where(hit_lane[:, None], srad + contrib, srad)
+
+            # --- scatter or terminate ---
+            wi = sample_cosine_hemisphere(noise, n)
+            ray_ok = jnp.all(jnp.isfinite(wi), axis=-1) & p_ok
+            scatter = hit_lane & (bounce < jnp.int32(num_bounces)) & ray_ok
+            term = live & ~scatter
+
+            # Flush the finished sample into its pixel's radiance, in sample
+            # order (same f32 add as the lane-aligned form: lrad[p] += srad).
+            if pix is None:
+                lrad = jnp.where(term[:, None], lrad + srad, lrad)
+            else:
+                lrad = lrad.at[pix].add(
+                    jnp.where(term[:, None], srad, jnp.float32(0.0)), mode="drop"
+                )
+            srad = jnp.where(term[:, None], jnp.float32(0.0), srad)
+            sample = jnp.where(term, sample + 1, sample)
+            regen = term & (sample < nf)
+
+            noise_new = noise_of(sample)
+            po, pd = primary(noise_new)
+            origin = jnp.where(
+                scatter[:, None], p, jnp.where(regen[:, None], po, origin)
+            )
+            direction = jnp.where(
+                scatter[:, None], wi, jnp.where(regen[:, None], pd, direction)
+            )
+            thr = jnp.where(
+                scatter[:, None],
+                thr * albedo,
+                jnp.where(regen[:, None], jnp.float32(1.0), thr),
+            )
+            noise = jnp.where(regen[:, None], noise_new, noise)
+            bounce = jnp.where(scatter, bounce + 1, jnp.where(regen, 1, bounce))
+            return sample, bounce, origin, direction, thr, srad, lrad, noise
+
+        return body
 
     sample0 = jnp.zeros((batch,), jnp.int32)
-    noise0 = noise_of(sample0)
-    o0, d0 = primary(noise0)
+    body = make_phase(u, v_tex, noise_base_full, None)
+    noise0 = _noise_of(noise_base_full, sample0)
+    o0, d0 = _primary(u, v_tex, noise0)
     state = (
         sample0,  # per-lane sample index
         jnp.ones((batch,), jnp.int32),  # bounce depth of the active path
@@ -436,76 +555,41 @@ def accumulate_samples_regen(
         d0,
         jnp.ones((batch, 3), jnp.float32),  # throughput
         jnp.zeros((batch, 3), jnp.float32),  # current sample's radiance
-        accum,  # lane radiance, seeded from accum for exact f32 grouping
+        accum,  # pixel radiance, seeded from accum for exact f32 grouping
         noise0,
     )
 
-    def cond(st):
-        return jnp.any(st[0] < jnp.int32(num_frames))
+    floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
+    cur_u, cur_v, cur_nb, pix = u, v_tex, noise_base_full, None
+    for size in _phase_sizes(batch, floor)[1:]:
+        body_prev = body
 
-    def body(st):
-        sample, bounce, origin, direction, thr, srad, lrad, noise = st
-        live = sample < jnp.int32(num_frames)
-        origin = jnp.where(live[:, None], origin, park)
+        def above(st, size=size):
+            return jnp.sum((st[0] < nf).astype(jnp.int32)) > jnp.int32(size)
 
-        hit, _, tri_idx, _ = closest(scene, origin, direction, T_MAX)
-        hit_lane = live & hit
-        miss_lane = live & ~hit
+        state = jax.lax.while_loop(above, body_prev, state)
 
-        # --- miss: sky radiance (sun excluded; it arrives via NEE) ---
-        theta = jnp.arccos(jnp.clip(direction[:, 1], -1.0, 1.0))
-        gamma = jnp.arccos(
-            jnp.clip(jnp.sum(direction * sun_dir, axis=-1), -1.0, 1.0)
+        # Compact the busy lanes into a `size`-lane batch. nonzero preserves
+        # block-major order, so spatial tile coherence survives compaction.
+        sample, bounce, origin, direction, thr, srad, lrad, noise = state
+        busy = sample < nf
+        idx = jnp.nonzero(busy, size=size, fill_value=0)[0].astype(jnp.int32)
+        valid = jnp.arange(size, dtype=jnp.int32) < jnp.sum(busy.astype(jnp.int32))
+        take = lambda a: a[idx]  # noqa: E731
+        sample = jnp.where(valid, take(sample), nf)  # padding slots are dead
+        pix = take(pix) if pix is not None else idx
+        pix = jnp.where(valid, pix, jnp.int32(batch))  # out of range -> drop
+        cur_u, cur_v, cur_nb = take(cur_u), take(cur_v), take(cur_nb)
+        state = (
+            sample, take(bounce), take(origin), take(direction),
+            take(thr), take(srad), lrad, take(noise),
         )
-        sky_rgb = sky_radiance_dist(sky, theta, gamma)
-        srad = jnp.where(miss_lane[:, None], srad + thr * sky_rgb, srad)
+        body = make_phase(cur_u, cur_v, cur_nb, pix)
 
-        # --- hit: NEE toward the solar disk ---
-        safe_tri = jnp.maximum(tri_idx, 0)
-        p, n, uv, tex, _ = _surface_interaction(scene, origin, direction, safe_tri)
-        albedo = eval_texture(scene, tex, uv)
-        light_dir = sample_solar_disk_direction(noise, SOLAR_COS_THETA_MAX, sun_dir)
-        brdf = albedo * FRAC_1_PI
-        cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
-        p_ok = jnp.all(jnp.isfinite(p), axis=-1)
-        shadow_origin = jnp.where((hit_lane & p_ok)[:, None], p, park)
-        occluded = any_hit(
-            scene, shadow_origin, jnp.broadcast_to(light_dir, p.shape), T_MAX
-        )
-        visibility = jnp.where(occluded, jnp.float32(0.0), jnp.float32(1.0))[:, None]
-        contrib = thr * solar_radiance * brdf * cos_term * visibility * SOLAR_INV_PDF
-        srad = jnp.where(hit_lane[:, None], srad + contrib, srad)
+    def any_left(st):
+        return jnp.any(st[0] < nf)
 
-        # --- scatter or terminate ---
-        wi = sample_cosine_hemisphere(noise, n)
-        ray_ok = jnp.all(jnp.isfinite(wi), axis=-1) & p_ok
-        scatter = hit_lane & (bounce < jnp.int32(num_bounces)) & ray_ok
-        term = live & ~scatter
-
-        # Flush the finished sample into the lane radiance, in sample order.
-        lrad = jnp.where(term[:, None], lrad + srad, lrad)
-        srad = jnp.where(term[:, None], jnp.float32(0.0), srad)
-        sample = jnp.where(term, sample + 1, sample)
-        regen = term & (sample < jnp.int32(num_frames))
-
-        noise_new = noise_of(sample)
-        po, pd = primary(noise_new)
-        origin = jnp.where(
-            scatter[:, None], p, jnp.where(regen[:, None], po, origin)
-        )
-        direction = jnp.where(
-            scatter[:, None], wi, jnp.where(regen[:, None], pd, direction)
-        )
-        thr = jnp.where(
-            scatter[:, None],
-            thr * albedo,
-            jnp.where(regen[:, None], jnp.float32(1.0), thr),
-        )
-        noise = jnp.where(regen[:, None], noise_new, noise)
-        bounce = jnp.where(scatter, bounce + 1, jnp.where(regen, 1, bounce))
-        return sample, bounce, origin, direction, thr, srad, lrad, noise
-
-    state = jax.lax.while_loop(cond, body, state)
+    state = jax.lax.while_loop(any_left, body, state)
     return state[6]
 
 

@@ -34,6 +34,30 @@ def test_regen_matches_scan(duck_device_scene):
     )
 
 
+def test_regen_compaction_matches_uncompacted(duck_device_scene):
+    """Forcing lane compaction (tiny compact_floor) must not change a single
+    pixel's accumulation order: results are identical to the single-phase
+    loop (same adds in the same order, so exact equality modulo XLA fusion)."""
+    w, h, spp, nb = 64, 48, 6, 4
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.3, 2.5, 70.0, w / h)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=nb, spp=spp, num_frames=spp,
+              engine="wavefront")
+
+    one = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), compact_floor=w * h, **kw,
+    )
+    compacted = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), compact_floor=16, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(compacted), np.asarray(one), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_regen_respects_frame_base(duck_device_scene):
     """Two regen dispatches of spp/2 frames == one dispatch of spp frames."""
     w, h, spp = 32, 24, 4
