@@ -165,6 +165,25 @@ def _next_row(entry, bt):
     return j, jnp.min(key)
 
 
+def _next_rows2(entry, bt):
+    """Front-to-back selection of the TWO nearest needed rows.
+
+    Returns (ja, ka, jb): the nearest and second-nearest untested rows by
+    their closest needing lane. ka == +inf is the early-exit condition; jb
+    may point at an exhausted row (its per-lane `need` masks are then all
+    false, so testing it is merely wasted compute on the final iteration).
+    Testing two rows per while iteration halves the scalar/vector sync count
+    per sweep, which costs as much as a full Möller-Trumbore block.
+    """
+    masked = jnp.where(entry < bt[None, :], entry, jnp.inf)
+    key = jnp.min(masked, axis=1, keepdims=True)  # (rows, 1)
+    ja = jnp.argmin(key, axis=0)[0].astype(jnp.int32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+    key_b = jnp.where(row_ids == ja, jnp.inf, key)
+    jb = jnp.argmin(key_b, axis=0)[0].astype(jnp.int32)
+    return ja, jnp.min(key), jb
+
+
 def _fetch_super(table_hbm, tbuf, sem, cache_tag, s):
     """DMA super s's (SUPER, rows, cols) table slice HBM->VMEM unless the
     one-slot cache already holds it."""
@@ -183,24 +202,32 @@ def _fetch_super(table_hbm, tbuf, sem, cache_tag, s):
 
 
 def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
-    """Inner front-to-back sweep over one super's clusters.
+    """Inner front-to-back sweep over one super's clusters, TWO per iteration.
 
     test_one(j, carry) -> (carry, bound): dense-test cluster j, fold into the
     carry, return the updated selection bound. Terminates when no cluster has
-    a lane with entry < bound."""
-    j0, k0 = _next_row(cl_entry[:, :], bound0)
+    a lane with entry < bound. Erasing both selected rows is safe even when
+    the second was already exhausted: the bound only shrinks during a sweep,
+    so a row with no lane under the current bound can never be needed again.
+    """
+    ja0, ka0, jb0 = _next_rows2(cl_entry[:, :], bound0)
 
     def cond(state):
         return jnp.isfinite(state[-1])
 
     def body(state):
-        carry, bound, j, _ = state
-        carry, bound = test_one(j, carry)
-        cl_entry[j, :] = jnp.full((bound.shape[0],), jnp.inf, jnp.float32)
-        j_next, key = _next_row(cl_entry[:, :], bound)
-        return carry, bound, j_next, key
+        carry, bound, ja, jb, _ = state
+        carry, bound = test_one(ja, carry)
+        carry, bound = test_one(jb, carry)
+        inf_row = jnp.full((bound.shape[0],), jnp.inf, jnp.float32)
+        cl_entry[ja, :] = inf_row
+        cl_entry[jb, :] = inf_row
+        ja_n, ka_n, jb_n = _next_rows2(cl_entry[:, :], bound)
+        return carry, bound, ja_n, jb_n, ka_n
 
-    carry, bound, _, _ = jax.lax.while_loop(cond, body, (carry0, bound0, j0, k0))
+    carry, bound, _, _, _ = jax.lax.while_loop(
+        cond, body, (carry0, bound0, ja0, jb0, ka0)
+    )
     return carry, bound
 
 

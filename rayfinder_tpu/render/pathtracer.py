@@ -116,27 +116,29 @@ def _surface_interaction(scene: DeviceScene, origin, direction, tri_idx):
     texture index (wgsl:383-401, 477-521).
 
     One chunky (B, 25) row gather from the packed attribute table instead of
-    four small gathers — TPU gathers are row-count bound, not byte bound."""
+    four small gathers — TPU gathers are row-count bound, not byte bound.
+    All consumers slice the gather FLAT, as (B, k) column windows: reshaping
+    to (B, 3, 3) forces padded minor-dim relayouts that cost ~2x the whole
+    computation (measured 5.0 -> 2.0 ms at 480K lanes on v5e)."""
     attrs = scene.tri_attrs[tri_idx]  # (B, 25)
-    verts = attrs[:, 0:9].reshape(-1, 3, 3)
-    v0, v1, v2 = verts[:, 0], verts[:, 1], verts[:, 2]
+    v0 = attrs[:, 0:3]
+    v1 = attrs[:, 3:6]
+    v2 = attrs[:, 6:9]
     _, t, u, v = ray_triangle(origin, direction, v0, v1, v2, jnp.float32(np.inf))
 
     e1 = v1 - v0
     e2 = v2 - v0
-    p = v0 + u[:, None] * e1 + v[:, None] * e2
+    b1 = u[:, None]
+    b2 = v[:, None]
+    p = v0 + b1 * e1 + b2 * e2
     geo_n = jnp.cross(e1, e2)
     geo_n = geo_n / jnp.linalg.norm(geo_n, axis=-1, keepdims=True)
     p_offset = offset_ray(p, geo_n)
 
-    b0 = (jnp.float32(1.0) - u - v)[:, None]
-    b1 = u[:, None]
-    b2 = v[:, None]
-    normals = attrs[:, 9:18].reshape(-1, 3, 3)
+    b0 = jnp.float32(1.0) - b1 - b2
     # Interpolated shading normal; NOT renormalized, matching wgsl:396.
-    n = b0 * normals[:, 0] + b1 * normals[:, 1] + b2 * normals[:, 2]
-    uvs = attrs[:, 18:24].reshape(-1, 3, 2)
-    uv = b0 * uvs[:, 0] + b1 * uvs[:, 1] + b2 * uvs[:, 2]
+    n = b0 * attrs[:, 9:12] + b1 * attrs[:, 12:15] + b2 * attrs[:, 15:18]
+    uv = b0 * attrs[:, 18:20] + b1 * attrs[:, 20:22] + b2 * attrs[:, 22:24]
     tex = jax.lax.bitcast_convert_type(attrs[:, 24], jnp.int32)
     return p_offset, n, uv, tex, t
 

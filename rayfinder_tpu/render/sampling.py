@@ -63,10 +63,14 @@ def point_in_unit_disk(u):
 
 
 def sample_solar_disk_direction(u, cos_theta_max, sun_direction):
-    """World-space direction toward the solar disk (wgsl:287-292)."""
+    """World-space direction toward the solar disk (wgsl:287-292).
+
+    The basis is built at the sun direction's own (3,) shape — it is constant
+    across lanes, and XLA does not sink broadcasts through the ONB's division,
+    so building it per lane costs a dozen (B, 3) ops for nothing."""
     local = direction_in_cone(u, cos_theta_max)
-    basis = pixar_onb(jnp.broadcast_to(sun_direction, local.shape))
-    return _onb_transform(basis, local)
+    basis = pixar_onb(sun_direction)
+    return _onb_transform(tuple(jnp.broadcast_to(b, local.shape) for b in basis), local)
 
 
 def sample_cosine_hemisphere(u, n):
