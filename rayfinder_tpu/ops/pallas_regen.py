@@ -1,0 +1,420 @@
+"""Persistent path kernel: traversal + sky + path regeneration in one Pallas
+kernel.
+
+Motivation (measured, Duck 800x600 64spp/4bounce): ~90% of all path segments
+are primary rays that MISS the geometry — their whole lifecycle is
+"generate camera ray -> reject against the scene bounds -> evaluate sky ->
+start the next sample". Running each such segment as a full wavefront
+iteration costs a closest-hit dispatch plus an XLA shading pass over every
+lane (~14ms x 64 iterations). This kernel keeps those segments entirely
+on-chip: each ray tile loops internally — trace; on miss, accumulate
+throughput x sky radiance, finish the sample, and regenerate the pixel's
+next primary ray in-register; on hit, STOP the lane and return the hit to
+the XLA wavefront (texturing/NEE need HBM gathers the kernel cannot do).
+One kernel dispatch therefore consumes every consecutive missing sample of
+every lane, and the outer loop only runs once per HIT segment.
+
+Numerics: the sky evaluation matches sky/model.sky_radiance_dist
+(reference src/hw-skymodel/hw_skymodel.c:182-223, wgsl:247-275) except that
+Mosaic has no acos lowering, so gamma/theta use an Abramowitz-Stegun 4.4.45
+polynomial (|err| <= 2e-8 rad) instead of XLA's acos — far inside the
+renderer's 1e-3 RMSE contract, asserted by tests/test_pallas_regen.py.
+Camera rays match render/camera.generate_camera_ray_lens and the noise
+stream matches render/rng.animated_blue_noise bit-for-bit (mul/floor only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_walk import (
+    SUPER,
+    _closest_tile_sweep,
+    _interpret,
+    _pick_tile,
+    _scene_tables,
+)
+
+_TWO_PI = np.float32(2.0 * np.pi)
+_PI = np.float32(np.pi)
+# R2 sequence constants (render/rng.py, wgsl:609-610).
+_A1 = np.float32(0.7548776662466927)
+_A2 = np.float32(0.5698402909980532)
+# Abramowitz & Stegun 4.4.45 acos fit on [0, 1], |eps| <= 2e-8 rad.
+_ACOS_C = [np.float32(c) for c in (
+    1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
+    0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911,
+)]
+
+# fscal scalar-table layout (all float32)
+_F_CAM_ORIGIN = 0      # 3
+_F_LOWER_LEFT = 3      # 3
+_F_HORIZONTAL = 6      # 3
+_F_VERTICAL = 9        # 3
+_F_RIGHT = 12          # 3
+_F_UP = 15             # 3
+_F_LENS_RADIUS = 18
+_F_T_MAX = 19
+_F_SUN = 20            # 3
+_F_SKY_RAD = 23        # 3
+_F_PARAMS = 26         # 3 channels x 9
+_F_INV_W = 53
+_F_INV_H = 54
+_F_LEN = 55
+# iscal layout (int32): frame_base, spp, num_frames
+_I_LEN = 3
+
+
+def acos_poly(x):
+    """acos on [-1, 1] via A&S 4.4.45 (Mosaic has no acos/atan2 lowering)."""
+    ax = jnp.abs(x)
+    p = _ACOS_C[7]
+    for c in _ACOS_C[6::-1]:
+        p = p * ax + c
+    r = jnp.sqrt(jnp.maximum(jnp.float32(1.0) - ax, jnp.float32(0.0))) * p
+    return jnp.where(x < 0.0, _PI - r, r)
+
+
+def _sky_rows(dx, dy, dz, f):
+    """Perez sky radiance per lane (rows), one output per RGB channel.
+    Mirrors sky/model.sky_radiance_dist with cos(theta) taken directly from
+    the direction's y component (cos(acos(y)) == y up to ulps)."""
+    cos_g = jnp.clip(dx * f[_F_SUN] + dy * f[_F_SUN + 1] + dz * f[_F_SUN + 2],
+                     -1.0, 1.0)
+    gamma = acos_poly(cos_g)
+    cos_t = jnp.abs(jnp.clip(dy, -1.0, 1.0))
+    zenith = jnp.sqrt(cos_t)
+    cg2 = cos_g * cos_g
+    out = []
+    for ch in range(3):
+        p = [f[_F_PARAMS + 9 * ch + k] for k in range(9)]
+        exp_m = jnp.exp(p[4] * gamma)
+        mie = (jnp.float32(1.0) + cg2) / jnp.power(
+            jnp.float32(1.0) + p[8] * p[8] - jnp.float32(2.0) * p[8] * cos_g,
+            jnp.float32(1.5),
+        )
+        lhs = jnp.float32(1.0) + p[0] * jnp.exp(p[1] / (cos_t + jnp.float32(0.01)))
+        rhs = p[2] + p[3] * exp_m + p[5] * cg2 + p[6] * mie + p[7] * zenith
+        out.append(f[_F_SKY_RAD + ch] * lhs * rhs)
+    return out
+
+
+def _primary_rows(u, v_tex, nx, ny, f):
+    """Thin-lens camera ray (generate_camera_ray_lens) from the lane's pixel
+    center (u, v_tex) and the sample's 2D noise: blue-noise sub-pixel jitter,
+    v flip (ray v = 1 - texCoord.y, wgsl:52-54), blue-noise lens sample.
+    Returns (ox, oy, oz, dx, dy, dz)."""
+    ray_u = u + nx * f[_F_INV_W]
+    ray_v = (jnp.float32(1.0) - v_tex) + ny * f[_F_INV_H]
+    r = jnp.sqrt(nx)
+    phi = _TWO_PI * ny
+    lpx = f[_F_LENS_RADIUS] * r * jnp.cos(phi)
+    lpy = f[_F_LENS_RADIUS] * r * jnp.sin(phi)
+    o = [f[_F_CAM_ORIGIN + a] + lpx * f[_F_RIGHT + a] + lpy * f[_F_UP + a]
+         for a in range(3)]
+    d = [f[_F_LOWER_LEFT + a] + ray_u * f[_F_HORIZONTAL + a]
+         + ray_v * f[_F_VERTICAL + a] - o[a] for a in range(3)]
+    norm = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    d = [di / norm for di in d]
+    return o[0], o[1], o[2], d[0], d[1], d[2]
+
+
+def _noise_rows(sample, nb0, nb1, i):
+    """Per-lane animated blue noise for the lane's CURRENT sample index:
+    tile base + R2 offset, wrapped (render/rng.animated_blue_noise)."""
+    n = jax.lax.rem(i[0] + sample, i[1]).astype(jnp.float32)
+    rx = _A1 * n
+    rx = rx - jnp.floor(rx)
+    ry = _A2 * n
+    ry = ry - jnp.floor(ry)
+    nx = nb0 + rx
+    nx = nx - jnp.floor(nx)
+    ny = nb1 + ry
+    ny = ny - jnp.floor(ny)
+    return nx, ny
+
+
+def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
+    def kernel(
+        counters_ref, ray_ref, shade_ref, pix_ref,
+        fscal, iscal, start_ref, super_min_ref, super_max_ref,
+        cl_planes_ref, table_hbm,
+        counters_out, ray_out, shade_out, t_out, tri_out,
+        super_entry, cl_entry, tbuf, cache_tag, sem,
+    ):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            cache_tag[0] = jnp.int32(-1)
+
+        nf = iscal[2]
+        t_max = fscal[_F_T_MAX]
+        neg_inf = jnp.float32(-jnp.inf)
+
+        for rt in range(rt_count):
+            sample = counters_ref[rt, 0, :]
+            bounce = counters_ref[rt, 1, :]
+            ox, oy, oz = ray_ref[rt, 0, :], ray_ref[rt, 1, :], ray_ref[rt, 2, :]
+            dx, dy, dz = ray_ref[rt, 3, :], ray_ref[rt, 4, :], ray_ref[rt, 5, :]
+            t0, t1, t2 = shade_ref[rt, 0, :], shade_ref[rt, 1, :], shade_ref[rt, 2, :]
+            s0, s1, s2 = shade_ref[rt, 3, :], shade_ref[rt, 4, :], shade_ref[rt, 5, :]
+            l0, l1, l2 = shade_ref[rt, 6, :], shade_ref[rt, 7, :], shade_ref[rt, 8, :]
+            u_row = pix_ref[rt, 0, :]
+            v_row = pix_ref[rt, 1, :]
+            nb0 = pix_ref[rt, 2, :]
+            nb1 = pix_ref[rt, 3, :]
+
+            lanes = sample.shape[0]
+            tfin = jnp.full((lanes,), t_max, jnp.float32)
+            trifin = jnp.full((lanes,), -1, jnp.int32)
+            stopped = jnp.zeros((lanes,), jnp.int32)
+            flag0 = jnp.max(jnp.where(sample < nf, 1, 0))
+
+            def cond(st):
+                return st[-1] > 0
+
+            def body(st, u_row=u_row, v_row=v_row, nb0=nb0, nb1=nb1):
+                (sample, bounce, ox, oy, oz, dx, dy, dz,
+                 t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                 tfin, trifin, stopped, _) = st
+
+                inflight = (sample < nf) & (stopped == 0)
+                bound0 = jnp.where(inflight, t_max, neg_inf)
+                ix = jnp.float32(1.0) / dx
+                iy = jnp.float32(1.0) / dy
+                iz = jnp.float32(1.0) / dz
+                bt, btri = _closest_tile_sweep(
+                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
+                    start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                )
+                hit = inflight & (btri >= 0)
+                tfin = jnp.where(hit, bt, tfin)
+                trifin = jnp.where(hit, btri, trifin)
+                stopped = jnp.where(hit, 1, stopped)
+                miss = inflight & (btri < 0)
+
+                # Miss: radiance += throughput * sky; finish the sample.
+                skyr, skyg, skyb = _sky_rows(dx, dy, dz, fscal)
+                s0 = jnp.where(miss, s0 + t0 * skyr, s0)
+                s1 = jnp.where(miss, s1 + t1 * skyg, s1)
+                s2 = jnp.where(miss, s2 + t2 * skyb, s2)
+                l0 = jnp.where(miss, l0 + s0, l0)
+                l1 = jnp.where(miss, l1 + s1, l1)
+                l2 = jnp.where(miss, l2 + s2, l2)
+                s0 = jnp.where(miss, jnp.float32(0.0), s0)
+                s1 = jnp.where(miss, jnp.float32(0.0), s1)
+                s2 = jnp.where(miss, jnp.float32(0.0), s2)
+                sample = jnp.where(miss, sample + 1, sample)
+
+                # Regenerate the pixel's next primary ray in-register.
+                regen = miss & (sample < nf)
+                nx, ny = _noise_rows(sample, nb0, nb1, iscal)
+                pox, poy, poz, pdx, pdy, pdz = _primary_rows(
+                    u_row, v_row, nx, ny, fscal
+                )
+                ox = jnp.where(regen, pox, ox)
+                oy = jnp.where(regen, poy, oy)
+                oz = jnp.where(regen, poz, oz)
+                dx = jnp.where(regen, pdx, dx)
+                dy = jnp.where(regen, pdy, dy)
+                dz = jnp.where(regen, pdz, dz)
+                one = jnp.float32(1.0)
+                t0 = jnp.where(regen, one, t0)
+                t1 = jnp.where(regen, one, t1)
+                t2 = jnp.where(regen, one, t2)
+                bounce = jnp.where(regen, 1, bounce)
+                flag = jnp.max(jnp.where(regen, 1, 0))
+                return (sample, bounce, ox, oy, oz, dx, dy, dz,
+                        t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                        tfin, trifin, stopped, flag)
+
+            st = (sample, bounce, ox, oy, oz, dx, dy, dz,
+                  t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                  tfin, trifin, stopped, flag0)
+            st = jax.lax.while_loop(cond, body, st)
+            (sample, bounce, ox, oy, oz, dx, dy, dz,
+             t0, t1, t2, s0, s1, s2, l0, l1, l2,
+             tfin, trifin, stopped, _) = st
+
+            counters_out[rt, 0, :] = sample
+            counters_out[rt, 1, :] = bounce
+            ray_out[rt, 0, :] = ox
+            ray_out[rt, 1, :] = oy
+            ray_out[rt, 2, :] = oz
+            ray_out[rt, 3, :] = dx
+            ray_out[rt, 4, :] = dy
+            ray_out[rt, 5, :] = dz
+            shade_out[rt, 0, :] = t0
+            shade_out[rt, 1, :] = t1
+            shade_out[rt, 2, :] = t2
+            shade_out[rt, 3, :] = s0
+            shade_out[rt, 4, :] = s1
+            shade_out[rt, 5, :] = s2
+            shade_out[rt, 6, :] = l0
+            shade_out[rt, 7, :] = l1
+            shade_out[rt, 8, :] = l2
+            t_out[rt, 0, :] = tfin
+            tri_out[rt, 0, :] = trifin
+
+    return kernel
+
+
+def _pack_fscal(camera, sky, t_max, inv_dims) -> jnp.ndarray:
+    parts = [
+        jnp.asarray(camera.origin, jnp.float32).reshape(3),
+        jnp.asarray(camera.lower_left_corner, jnp.float32).reshape(3),
+        jnp.asarray(camera.horizontal, jnp.float32).reshape(3),
+        jnp.asarray(camera.vertical, jnp.float32).reshape(3),
+        jnp.asarray(camera.right, jnp.float32).reshape(3),
+        jnp.asarray(camera.up, jnp.float32).reshape(3),
+        jnp.asarray(camera.lens_radius, jnp.float32).reshape(1),
+        jnp.asarray(t_max, jnp.float32).reshape(1),
+        jnp.asarray(sky.sun_direction, jnp.float32).reshape(3),
+        jnp.asarray(sky.sky_radiances, jnp.float32).reshape(3),
+        jnp.asarray(sky.params, jnp.float32).reshape(27),
+        jnp.asarray(inv_dims, jnp.float32).reshape(2),
+    ]
+    f = jnp.concatenate(parts)
+    assert f.shape == (_F_LEN,)
+    return f
+
+
+def _pack_rows(arrs, tiles, tile):
+    """Stack (B,) arrays as (tiles, len(arrs), tile) channel blocks."""
+    rows = jnp.stack(arrs, axis=1)  # (B, C)
+    return rows.reshape(tiles, tile, len(arrs)).transpose(0, 2, 1)
+
+
+@jax.jit
+def pallas_trace_regen(
+    scene, camera, sky, u, v_tex, noise_base, inv_dims, frame_base, spp_dyn,
+    num_frames_dyn, t_max,
+    sample, bounce, origin, direction, thr, srad, lrad,
+):
+    """Advance every lane to its next HIT or exhaust its samples.
+
+    All per-lane arrays are (B,) / (B, k). spp_dyn / num_frames_dyn /
+    frame_base are traced int32 scalars (no recompile per value). Returns
+    (sample, bounce, origin, direction, thr, srad, lrad, t, tri): tri >= 0
+    marks lanes stopped at a surface hit awaiting shading; all other live
+    lanes have consumed every remaining sample (and their sky radiance is
+    already folded into lrad).
+    """
+    num_rays = u.shape[0]
+    tile, rt = _pick_tile(scene.cluster_tris.shape[0])
+    padded = -(-num_rays // (tile * rt)) * (tile * rt)
+    pad = padded - num_rays
+
+    def pad1(a, value):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((pad,) + a.shape[1:], value, a.dtype)])
+
+    nf_big = jnp.int32(2**30)
+    u_p = pad1(u, 0.5)
+    v_p = pad1(v_tex, 0.5)
+    nb_p = pad1(noise_base, 0.0)
+    sample_p = pad1(sample, nf_big)  # padding lanes: already exhausted
+    bounce_p = pad1(bounce, 1)
+    o_p = pad1(origin, 1e30)
+    d_p = pad1(direction, 1.0)
+    thr_p = pad1(thr, 0.0)
+    srad_p = pad1(srad, 0.0)
+    lrad_p = pad1(lrad, 0.0)
+    # Clamp padding sample counters so `sample < num_frames` stays false but
+    # +1 never overflows.
+    sample_p = jnp.minimum(sample_p, num_frames_dyn)
+
+    tiles = padded // tile
+    counters = _pack_rows([sample_p, bounce_p], tiles, tile)
+    rays = _pack_rows(
+        [o_p[:, 0], o_p[:, 1], o_p[:, 2], d_p[:, 0], d_p[:, 1], d_p[:, 2]],
+        tiles, tile,
+    )
+    shade = _pack_rows(
+        [thr_p[:, 0], thr_p[:, 1], thr_p[:, 2],
+         srad_p[:, 0], srad_p[:, 1], srad_p[:, 2],
+         lrad_p[:, 0], lrad_p[:, 1], lrad_p[:, 2]],
+        tiles, tile,
+    )
+    pix = _pack_rows([u_p, v_p, nb_p[:, 0], nb_p[:, 1]], tiles, tile)
+
+    fscal = _pack_fscal(camera, sky, t_max, inv_dims)
+    iscal = jnp.stack([
+        jnp.asarray(frame_base, jnp.int32),
+        jnp.asarray(spp_dyn, jnp.int32),
+        jnp.asarray(num_frames_dyn, jnp.int32),
+    ])
+
+    table, starts, super_min, super_max, cl_planes = _scene_tables(scene)
+    num_supers = table.shape[0]
+    leaf = scene.cluster_tris.shape[1]
+
+    def full(shape):
+        zeros = tuple(0 for _ in shape)
+        return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _make_path_kernel(leaf, num_supers, rt),
+        grid=(tiles // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, 2, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 6, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster starts
+            full(super_min.shape),
+            full(super_max.shape),
+            full(cl_planes.shape),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # triangle table in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((rt, 2, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 6, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, 2, tile), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, 6, tile), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 9, tile), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, tile), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_supers, tile), jnp.float32),
+            pltpu.VMEM((SUPER, tile), jnp.float32),
+            pltpu.VMEM((9, SUPER, leaf), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(counters, rays, shade, pix, fscal, iscal, starts, super_min, super_max,
+      cl_planes, table)
+
+    counters_o, rays_o, shade_o, t_o, tri_o = outs
+
+    def unpack(block, ch):
+        return block[:, ch, :].reshape(-1)[:num_rays]
+
+    sample = unpack(counters_o, 0)
+    bounce = unpack(counters_o, 1)
+    origin = jnp.stack([unpack(rays_o, a) for a in range(3)], axis=1)
+    direction = jnp.stack([unpack(rays_o, a) for a in range(3, 6)], axis=1)
+    thr = jnp.stack([unpack(shade_o, a) for a in range(3)], axis=1)
+    srad = jnp.stack([unpack(shade_o, a) for a in range(3, 6)], axis=1)
+    lrad = jnp.stack([unpack(shade_o, a) for a in range(6, 9)], axis=1)
+    t = unpack(t_o, 0)
+    tri = unpack(tri_o, 0)
+    return sample, bounce, origin, direction, thr, srad, lrad, t, tri

@@ -231,6 +231,64 @@ def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
     return carry, bound
 
 
+def _closest_tile_sweep(
+    rays, bound0, start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+):
+    """Two-level front-to-back closest sweep for ONE ray tile.
+
+    rays = (ox, oy, oz, dx, dy, dz, ix, iy, iz): (TILE,) registers.
+    bound0: per-lane initial bound — t_max for live lanes; -inf parks a lane
+    entirely (it selects nothing and accepts nothing).
+    Returns (bt, btri): best hit distance (== bound0 where no hit) and
+    leaf-order triangle index (-1 where no hit). Shared by the plain closest
+    kernel and the persistent path kernel (pallas_regen.py)."""
+    ox, oy, oz, dx, dy, dz, ix, iy, iz = rays
+    super_entry[:, :] = _slab_entry_rows(
+        super_min_ref[:, :], super_max_ref[:, :],
+        ox, oy, oz, ix, iy, iz, bound0,
+    )
+    btri0 = jnp.full((bound0.shape[0],), -1, jnp.int32)
+
+    s0, k0 = _next_row(super_entry[:, :], bound0)
+
+    def s_cond(state):
+        return jnp.isfinite(state[3])
+
+    def s_body(state):
+        bt, btri, s, _ = state
+        _fetch_super(table_hbm, tbuf, sem, cache_tag, s)
+        cl_entry[:, :] = _slab_entry_rows(
+            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+            ox, oy, oz, ix, iy, iz, bt,
+        )
+
+        def test_one(j, carry, s=s):
+            bt, btri = carry
+            need = cl_entry[j, :] < bt
+            t_cand, slot = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, bt)
+            better = need & (t_cand < bt)
+            # Treelet clusters are variable-length leaf ranges; the
+            # scalar start rides in SMEM (padding never wins: its
+            # triangles are degenerate).
+            tri = start_ref[s * SUPER + j] + slot
+            bt = jnp.where(better, t_cand, bt)
+            btri = jnp.where(better, tri, btri)
+            return (bt, btri), bt
+
+        (bt, btri), _ = _cluster_sweep(
+            tbuf, cl_entry, test_one, bt, (bt, btri)
+        )
+        super_entry[s, :] = jnp.full((bt.shape[0],), jnp.inf, jnp.float32)
+        s_next, key = _next_row(super_entry[:, :], bt)
+        return bt, btri, s_next, key
+
+    bt, btri, _, _ = jax.lax.while_loop(
+        s_cond, s_body, (bound0, btri0, s0, k0)
+    )
+    return bt, btri
+
+
 def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int):
     def kernel(
         o_ref, d_ref, tmax_ref, start_ref, super_min_ref, super_max_ref,
@@ -249,52 +307,10 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int):
             (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
                 o_ref, d_ref, tmax_ref, rt
             )
-            super_entry[:, :] = _slab_entry_rows(
-                super_min_ref[:, :], super_max_ref[:, :],
-                ox, oy, oz, ix, iy, iz, tmax,
-            )
-            btri0 = jnp.full((tmax.shape[0],), -1, jnp.int32)
-
-            s0, k0 = _next_row(super_entry[:, :], tmax)
-
-            def s_cond(state):
-                return jnp.isfinite(state[3])
-
-            def s_body(
-                state,
-                ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
-                ix=ix, iy=iy, iz=iz, tmax=tmax,
-            ):
-                bt, btri, s, _ = state
-                _fetch_super(table_hbm, tbuf, sem, cache_tag, s)
-                cl_entry[:, :] = _slab_entry_rows(
-                    cl_planes_ref[s, 0], cl_planes_ref[s, 1],
-                    ox, oy, oz, ix, iy, iz, tmax,
-                )
-
-                def test_one(j, carry, s=s, dx=dx, dy=dy, dz=dz,
-                             ox=ox, oy=oy, oz=oz):
-                    bt, btri = carry
-                    need = cl_entry[j, :] < bt
-                    t_cand, slot = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, bt)
-                    better = need & (t_cand < bt)
-                    # Treelet clusters are variable-length leaf ranges; the
-                    # scalar start rides in SMEM (padding never wins: its
-                    # triangles are degenerate).
-                    tri = start_ref[s * SUPER + j] + slot
-                    bt = jnp.where(better, t_cand, bt)
-                    btri = jnp.where(better, tri, btri)
-                    return (bt, btri), bt
-
-                (bt, btri), _ = _cluster_sweep(
-                    tbuf, cl_entry, test_one, bt, (bt, btri)
-                )
-                super_entry[s, :] = jnp.full((bt.shape[0],), jnp.inf, jnp.float32)
-                s_next, key = _next_row(super_entry[:, :], bt)
-                return bt, btri, s_next, key
-
-            bt, btri, _, _ = jax.lax.while_loop(
-                s_cond, s_body, (tmax, btri0, s0, k0)
+            bt, btri = _closest_tile_sweep(
+                (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
+                start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
             )
             t_out_ref[rt, 0, :] = bt
             tri_out_ref[rt, 0, :] = btri

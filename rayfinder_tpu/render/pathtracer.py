@@ -464,6 +464,15 @@ def accumulate_samples_regen(
         ray_v = (jnp.float32(1.0) - v_tex) + jitter[:, 1]
         return generate_camera_ray_lens(camera, noise, ray_u, ray_v)
 
+    if engine == "pallas":
+        return _accumulate_regen_fused(
+            scene, sky, camera, frame_base, accum,
+            u=u, v_tex=v_tex, noise_base_full=noise_base_full,
+            inv_dims=inv_dims, noise_of=_noise_of, primary=_primary,
+            num_bounces=num_bounces, spp=spp, num_frames=num_frames,
+            any_hit=any_hit, compact_floor=compact_floor,
+        )
+
     def make_phase(u, v_tex, noise_base, pix):
         """Loop body over lanes with per-lane pixel data (u, v_tex,
         noise_base). pix None: lane == pixel, lrad is lane-aligned. pix given:
@@ -593,6 +602,148 @@ def accumulate_samples_regen(
 
     state = jax.lax.while_loop(any_left, body, state)
     return state[6]
+
+
+def _accumulate_regen_fused(
+    scene, sky, camera, frame_base, accum, *,
+    u, v_tex, noise_base_full, inv_dims, noise_of, primary,
+    num_bounces, spp, num_frames, any_hit, compact_floor,
+):
+    """Fused-path regeneration: the persistent path kernel
+    (ops/pallas_regen.pallas_trace_regen) consumes every consecutive MISS
+    segment on-chip — sky evaluation and primary regeneration happen inside
+    the traversal kernel — so the XLA wavefront below runs exactly once per
+    HIT segment (texturing / NEE / scatter need HBM gathers the kernel
+    cannot do). On Duck ~90% of segments are misses: this removes ~90% of
+    the outer iterations and their full-width shading passes.
+
+    Phase compaction as in accumulate_samples_regen, with one difference:
+    compacted lanes accumulate into per-lane channels that are scatter-added
+    to their pixels at phase END (the kernel folds miss radiance into lane
+    state internally, so per-termination scatters are impossible). The
+    partial-sum regrouping deviates from the lane-exact order by a few ulps;
+    tests/test_pallas_regen.py budgets it.
+    """
+    from ..ops.pallas_regen import pallas_trace_regen
+
+    batch = u.shape[0]
+    nf = jnp.int32(num_frames)
+    spp_dyn = jnp.int32(spp)
+    sun_dir = jnp.asarray(sky.sun_direction)
+    solar_radiance = jnp.asarray(sky.solar_radiances)
+    park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
+
+    def make_body(u, v_tex, noise_base):
+        def body(st):
+            sample, bounce, origin, direction, thr, srad, lrad = st
+            (sample, bounce, origin, direction, thr, srad, lrad, _t, tri
+             ) = pallas_trace_regen(
+                scene, camera, sky, u, v_tex, noise_base, inv_dims, frame_base,
+                spp_dyn, nf, T_MAX,
+                sample, bounce, origin, direction, thr, srad, lrad,
+            )
+            # Every live lane is now stopped at a surface hit; shade it.
+            live = sample < nf
+            hit = live & (tri >= 0)
+            noise = noise_of(noise_base, sample)
+            safe_tri = jnp.maximum(tri, 0)
+            p, n, uv, tex, _ = _surface_interaction(
+                scene, origin, direction, safe_tri
+            )
+            albedo = eval_texture(scene, tex, uv)
+            light_dir = sample_solar_disk_direction(
+                noise, SOLAR_COS_THETA_MAX, sun_dir
+            )
+            brdf = albedo * FRAC_1_PI
+            cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
+            p_ok = jnp.all(jnp.isfinite(p), axis=-1)
+            shadow_origin = jnp.where((hit & p_ok)[:, None], p, park)
+            occluded = any_hit(
+                scene, shadow_origin, jnp.broadcast_to(light_dir, p.shape), T_MAX
+            )
+            visibility = jnp.where(occluded, jnp.float32(0.0), jnp.float32(1.0))[:, None]
+            contrib = (
+                thr * solar_radiance * brdf * cos_term * visibility * SOLAR_INV_PDF
+            )
+            srad = jnp.where(hit[:, None], srad + contrib, srad)
+
+            wi = sample_cosine_hemisphere(noise, n)
+            ray_ok = jnp.all(jnp.isfinite(wi), axis=-1) & p_ok
+            scatter = hit & (bounce < jnp.int32(num_bounces)) & ray_ok
+            term = hit & ~scatter
+            lrad = jnp.where(term[:, None], lrad + srad, lrad)
+            srad = jnp.where(term[:, None], jnp.float32(0.0), srad)
+            sample = jnp.where(term, sample + 1, sample)
+            regen = term & (sample < nf)
+
+            noise_new = noise_of(noise_base, sample)
+            po, pd = primary(u, v_tex, noise_new)
+            origin = jnp.where(
+                scatter[:, None], p, jnp.where(regen[:, None], po, origin)
+            )
+            direction = jnp.where(
+                scatter[:, None], wi, jnp.where(regen[:, None], pd, direction)
+            )
+            thr = jnp.where(
+                scatter[:, None], thr * albedo,
+                jnp.where(regen[:, None], jnp.float32(1.0), thr),
+            )
+            bounce = jnp.where(scatter, bounce + 1, jnp.where(regen, 1, bounce))
+            return sample, bounce, origin, direction, thr, srad, lrad
+
+        return body
+
+    sample0 = jnp.zeros((batch,), jnp.int32)
+    noise0 = noise_of(noise_base_full, sample0)
+    o0, d0 = primary(u, v_tex, noise0)
+    state = (
+        sample0,
+        jnp.ones((batch,), jnp.int32),
+        o0,
+        d0,
+        jnp.ones((batch, 3), jnp.float32),
+        jnp.zeros((batch, 3), jnp.float32),
+        accum,  # phase 1: lane == pixel, exact accumulation grouping
+    )
+    body = make_body(u, v_tex, noise_base_full)
+
+    floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
+    lrad_full = None
+    cur_u, cur_v, cur_nb, pix = u, v_tex, noise_base_full, None
+    for size in _phase_sizes(batch, floor)[1:]:
+        def above(st, size=size):
+            return jnp.sum((st[0] < nf).astype(jnp.int32)) > jnp.int32(size)
+
+        state = jax.lax.while_loop(above, body, state)
+
+        sample, bounce, origin, direction, thr, srad, lrad = state
+        # Flush lane radiance to pixels, then compact the busy lanes.
+        if pix is None:
+            lrad_full = lrad
+        else:
+            lrad_full = lrad_full.at[pix].add(lrad, mode="drop")
+        busy = sample < nf
+        idx = jnp.nonzero(busy, size=size, fill_value=0)[0].astype(jnp.int32)
+        valid = jnp.arange(size, dtype=jnp.int32) < jnp.sum(busy.astype(jnp.int32))
+        take = lambda a: a[idx]  # noqa: E731
+        sample = jnp.where(valid, take(sample), nf)
+        pix = take(pix) if pix is not None else idx
+        pix = jnp.where(valid, pix, jnp.int32(batch))  # out of range -> drop
+        cur_u, cur_v, cur_nb = take(cur_u), take(cur_v), take(cur_nb)
+        state = (
+            sample, take(bounce), take(origin), take(direction),
+            take(thr), take(srad), jnp.zeros((size, 3), jnp.float32),
+        )
+        body = make_body(cur_u, cur_v, cur_nb)
+
+    def any_left(st):
+        return jnp.any(st[0] < nf)
+
+    state = jax.lax.while_loop(any_left, body, state)
+    lrad = state[6]
+    if pix is None:
+        return lrad
+    return lrad_full.at[pix].add(lrad, mode="drop")
 
 
 @partial(

@@ -1,0 +1,89 @@
+"""Persistent path kernel (ops/pallas_regen): in-kernel sky + regeneration.
+
+The fused pallas regen path must agree with the XLA wavefront regen loop up
+to the documented deviations: the in-kernel acos polynomial (|err| <= 2e-8
+rad) and compacted-phase partial-sum regrouping (few ulps).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rayfinder_tpu.render.camera import create_camera
+from rayfinder_tpu.render.pathtracer import accumulate_samples_regen
+from rayfinder_tpu.render.rng import blue_noise_tile
+from rayfinder_tpu.sky.model import sky_state_from_ui
+
+
+def test_acos_poly_accuracy():
+    from rayfinder_tpu.ops.pallas_regen import acos_poly
+
+    x = np.linspace(-1.0, 1.0, 40001, dtype=np.float32)
+    got = np.asarray(acos_poly(jnp.asarray(x)))
+    want = np.arccos(x.astype(np.float64))
+    assert np.max(np.abs(got - want)) < 5e-7  # A&S 4.4.45: 2e-8 + f32 eval noise
+
+
+def test_fused_regen_matches_wavefront(duck_device_scene):
+    w, h, spp, nb = 64, 48, 4, 3
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.3, 2.5, 70.0, w / h)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=nb, spp=spp, num_frames=spp)
+
+    wave = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="wavefront", **kw,
+    )
+    fused = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="pallas", **kw,
+    )
+    # rtol budget: the acos polynomial (2e-8 rad) amplifies through the
+    # Perez exp(p4 * gamma) on near-sun pixels; observed max 4e-5 relative.
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(wave), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_fused_regen_compaction(duck_device_scene):
+    """Forced compaction (tiny floor) agrees with the single-phase fused run
+    up to the documented partial-sum regrouping."""
+    w, h, spp, nb = 64, 48, 6, 4
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, w / h)
+    sky = sky_state_from_ui(2.0, (0.6, 0.6, 0.6), 40.0, 30.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=nb, spp=spp, num_frames=spp,
+              engine="pallas")
+
+    one = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), compact_floor=w * h, **kw,
+    )
+    compacted = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), compact_floor=16, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(compacted), np.asarray(one), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_regen_frame_base(duck_device_scene):
+    """Two fused dispatches of spp/2 == one dispatch of spp."""
+    w, h, spp = 32, 24, 4
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, w / h)
+    sky = sky_state_from_ui(2.0, (0.5, 0.5, 0.5), 45.0, 90.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=2, spp=spp, engine="pallas")
+
+    one = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), num_frames=spp, **kw,
+    )
+    two = jnp.zeros((w * h, 3), jnp.float32)
+    for base in (0, spp // 2):
+        two = accumulate_samples_regen(
+            duck_device_scene, sky, cam, tile, jnp.int32(base), two,
+            num_frames=spp // 2, **kw,
+        )
+    np.testing.assert_allclose(np.asarray(two), np.asarray(one), rtol=1e-5, atol=1e-6)
