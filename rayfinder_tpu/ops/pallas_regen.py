@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_walk import (
     SUPER,
+    _any_tile_sweep,
     _closest_tile_sweep,
     _interpret,
     _pick_tile,
@@ -142,7 +143,7 @@ def _noise_rows(sample, nb0, nb1, i):
 
 def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
     def kernel(
-        counters_ref, ray_ref, shade_ref, pix_ref,
+        counters_ref, ray_ref, shade_ref, pix_ref, nee_ref,
         fscal, iscal, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
         counters_out, ray_out, shade_out, t_out, tri_out,
@@ -161,6 +162,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
         for rt in range(rt_count):
             sample = counters_ref[rt, 0, :]
             bounce = counters_ref[rt, 1, :]
+            flag = counters_ref[rt, 2, :]
             ox, oy, oz = ray_ref[rt, 0, :], ray_ref[rt, 1, :], ray_ref[rt, 2, :]
             dx, dy, dz = ray_ref[rt, 3, :], ray_ref[rt, 4, :], ray_ref[rt, 5, :]
             t0, t1, t2 = shade_ref[rt, 0, :], shade_ref[rt, 1, :], shade_ref[rt, 2, :]
@@ -172,10 +174,60 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
             nb1 = pix_ref[rt, 3, :]
 
             lanes = sample.shape[0]
+            live = sample < nf
+
+            # --- NEE prologue: resolve the PREVIOUS segment's light sample.
+            # flag: 0 = fresh ray (no pending NEE); 1 = pending NEE, input
+            # ray is the scatter continuation; 2 = pending NEE, the path
+            # terminates after it (depth limit / degenerate scatter).
+            sox, soy, soz = nee_ref[rt, 0, :], nee_ref[rt, 1, :], nee_ref[rt, 2, :]
+            sdx, sdy, sdz = nee_ref[rt, 3, :], nee_ref[rt, 4, :], nee_ref[rt, 5, :]
+            c0, c1, c2 = nee_ref[rt, 6, :], nee_ref[rt, 7, :], nee_ref[rt, 8, :]
+            has_nee = live & (flag > 0)
+            nonzero_c = (c0 != 0.0) | (c1 != 0.0) | (c2 != 0.0)
+            shadow_bound = jnp.where(has_nee & nonzero_c, t_max, neg_inf)
+            six = jnp.float32(1.0) / sdx
+            siy = jnp.float32(1.0) / sdy
+            siz = jnp.float32(1.0) / sdz
+            occ = _any_tile_sweep(
+                (sox, soy, soz, sdx, sdy, sdz, six, siy, siz), shadow_bound,
+                start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+            )
+            vis = jnp.where(occ == 0, jnp.float32(1.0), jnp.float32(0.0))
+            s0 = jnp.where(has_nee, s0 + c0 * vis, s0)
+            s1 = jnp.where(has_nee, s1 + c1 * vis, s1)
+            s2 = jnp.where(has_nee, s2 + c2 * vis, s2)
+
+            # --- terminate-after-NEE lanes: finish the sample, regenerate.
+            term = live & (flag == 2)
+            l0 = jnp.where(term, l0 + s0, l0)
+            l1 = jnp.where(term, l1 + s1, l1)
+            l2 = jnp.where(term, l2 + s2, l2)
+            s0 = jnp.where(term, jnp.float32(0.0), s0)
+            s1 = jnp.where(term, jnp.float32(0.0), s1)
+            s2 = jnp.where(term, jnp.float32(0.0), s2)
+            sample = jnp.where(term, sample + 1, sample)
+            regen0 = term & (sample < nf)
+            nx, ny = _noise_rows(sample, nb0, nb1, iscal)
+            pox, poy, poz, pdx, pdy, pdz = _primary_rows(u_row, v_row, nx, ny, fscal)
+            ox = jnp.where(regen0, pox, ox)
+            oy = jnp.where(regen0, poy, oy)
+            oz = jnp.where(regen0, poz, oz)
+            dx = jnp.where(regen0, pdx, dx)
+            dy = jnp.where(regen0, pdy, dy)
+            dz = jnp.where(regen0, pdz, dz)
+            one = jnp.float32(1.0)
+            t0 = jnp.where(regen0, one, t0)
+            t1 = jnp.where(regen0, one, t1)
+            t2 = jnp.where(regen0, one, t2)
+            bounce = jnp.where(regen0, 1, bounce)
+
+            # --- main loop: trace to the next hit, consuming misses.
             tfin = jnp.full((lanes,), t_max, jnp.float32)
             trifin = jnp.full((lanes,), -1, jnp.int32)
             stopped = jnp.zeros((lanes,), jnp.int32)
-            flag0 = jnp.max(jnp.where(sample < nf, 1, 0))
+            flag0 = jnp.max(jnp.where(sample < nf, 1, 0)).astype(jnp.int32)
 
             def cond(st):
                 return st[-1] > 0
@@ -231,7 +283,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
                 t1 = jnp.where(regen, one, t1)
                 t2 = jnp.where(regen, one, t2)
                 bounce = jnp.where(regen, 1, bounce)
-                flag = jnp.max(jnp.where(regen, 1, 0))
+                flag = jnp.max(jnp.where(regen, 1, 0)).astype(jnp.int32)
                 return (sample, bounce, ox, oy, oz, dx, dy, dz,
                         t0, t1, t2, s0, s1, s2, l0, l1, l2,
                         tfin, trifin, stopped, flag)
@@ -297,16 +349,20 @@ def _pack_rows(arrs, tiles, tile):
 def pallas_trace_regen(
     scene, camera, sky, u, v_tex, noise_base, inv_dims, frame_base, spp_dyn,
     num_frames_dyn, t_max,
-    sample, bounce, origin, direction, thr, srad, lrad,
+    sample, bounce, flag, origin, direction, thr, srad, lrad,
+    shadow_o, shadow_d, contrib,
 ):
     """Advance every lane to its next HIT or exhaust its samples.
 
-    All per-lane arrays are (B,) / (B, k). spp_dyn / num_frames_dyn /
-    frame_base are traced int32 scalars (no recompile per value). Returns
-    (sample, bounce, origin, direction, thr, srad, lrad, t, tri): tri >= 0
-    marks lanes stopped at a surface hit awaiting shading; all other live
-    lanes have consumed every remaining sample (and their sky radiance is
-    already folded into lrad).
+    The kernel first resolves the previous segment's pending NEE light
+    sample (flag/shadow_o/shadow_d/contrib; see _make_path_kernel), then
+    terminates flag==2 paths, then loops trace->sky->regen until each lane
+    stops at a hit or runs out of samples. All per-lane arrays are (B,) /
+    (B, k); spp_dyn / num_frames_dyn / frame_base are traced int32 scalars
+    (no recompile per value). Returns (sample, bounce, origin, direction,
+    thr, srad, lrad, t, tri): tri >= 0 marks lanes stopped at a surface hit
+    awaiting shading; all other live lanes have consumed every remaining
+    sample (their sky radiance is already folded into lrad).
     """
     num_rays = u.shape[0]
     tile, rt = _pick_tile(scene.cluster_tris.shape[0])
@@ -324,17 +380,21 @@ def pallas_trace_regen(
     nb_p = pad1(noise_base, 0.0)
     sample_p = pad1(sample, nf_big)  # padding lanes: already exhausted
     bounce_p = pad1(bounce, 1)
+    flag_p = pad1(flag, 0)
     o_p = pad1(origin, 1e30)
     d_p = pad1(direction, 1.0)
     thr_p = pad1(thr, 0.0)
     srad_p = pad1(srad, 0.0)
     lrad_p = pad1(lrad, 0.0)
+    so_p = pad1(shadow_o, 1e30)
+    sd_p = pad1(shadow_d, 1.0)
+    c_p = pad1(contrib, 0.0)
     # Clamp padding sample counters so `sample < num_frames` stays false but
     # +1 never overflows.
     sample_p = jnp.minimum(sample_p, num_frames_dyn)
 
     tiles = padded // tile
-    counters = _pack_rows([sample_p, bounce_p], tiles, tile)
+    counters = _pack_rows([sample_p, bounce_p, flag_p], tiles, tile)
     rays = _pack_rows(
         [o_p[:, 0], o_p[:, 1], o_p[:, 2], d_p[:, 0], d_p[:, 1], d_p[:, 2]],
         tiles, tile,
@@ -346,6 +406,12 @@ def pallas_trace_regen(
         tiles, tile,
     )
     pix = _pack_rows([u_p, v_p, nb_p[:, 0], nb_p[:, 1]], tiles, tile)
+    nee = _pack_rows(
+        [so_p[:, 0], so_p[:, 1], so_p[:, 2],
+         sd_p[:, 0], sd_p[:, 1], sd_p[:, 2],
+         c_p[:, 0], c_p[:, 1], c_p[:, 2]],
+        tiles, tile,
+    )
 
     fscal = _pack_fscal(camera, sky, t_max, inv_dims)
     iscal = jnp.stack([
@@ -366,10 +432,11 @@ def pallas_trace_regen(
         _make_path_kernel(leaf, num_supers, rt),
         grid=(tiles // rt,),
         in_specs=[
-            pl.BlockSpec((rt, 2, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 6, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 4, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
             pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster starts
@@ -400,8 +467,8 @@ def pallas_trace_regen(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_interpret(),
-    )(counters, rays, shade, pix, fscal, iscal, starts, super_min, super_max,
-      cl_planes, table)
+    )(counters, rays, shade, pix, nee, fscal, iscal, starts, super_min,
+      super_max, cl_planes, table)
 
     counters_o, rays_o, shade_o, t_o, tri_o = outs
 

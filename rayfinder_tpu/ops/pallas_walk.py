@@ -318,6 +318,60 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int):
     return kernel
 
 
+def _any_tile_sweep(
+    rays, tmax, start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+):
+    """Early-exit occlusion sweep for ONE ray tile: keep testing the nearest
+    super / cluster any unoccluded lane still overlaps; once every lane is
+    occluded (or nothing overlaps) the selection key goes +inf.
+
+    rays as in _closest_tile_sweep; tmax: per-lane bound (-inf parks a lane
+    as pre-occluded-irrelevant). Returns occ (TILE,) int32 (Mosaic cannot
+    legalize i1-vector carries). Shared by the any-hit kernel and the
+    persistent path kernel's NEE prologue (pallas_regen.py)."""
+    ox, oy, oz, dx, dy, dz, ix, iy, iz = rays
+    super_entry[:, :] = _slab_entry_rows(
+        super_min_ref[:, :], super_max_ref[:, :],
+        ox, oy, oz, ix, iy, iz, tmax,
+    )
+
+    def pending_bound(occ):
+        # Unoccluded lanes keep their tmax bound; occluded lanes drop
+        # out by bounding at -inf (no entry can be < -inf).
+        return jnp.where(occ == 0, tmax, -jnp.inf)
+
+    occ0 = jnp.zeros((tmax.shape[0],), jnp.int32)
+    s0, k0 = _next_row(super_entry[:, :], pending_bound(occ0))
+
+    def s_cond(state):
+        return jnp.isfinite(state[2])
+
+    def s_body(state):
+        occ, s, _ = state
+        _fetch_super(table_hbm, tbuf, sem, cache_tag, s)
+        cl_entry[:, :] = _slab_entry_rows(
+            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+            ox, oy, oz, ix, iy, iz, pending_bound(occ),
+        )
+
+        def test_one(j, occ):
+            need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
+            t_cand, _ = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, tmax)
+            occ = jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
+            return occ, pending_bound(occ)
+
+        occ, _ = _cluster_sweep(
+            tbuf, cl_entry, test_one, pending_bound(occ), occ
+        )
+        super_entry[s, :] = jnp.full((occ.shape[0],), jnp.inf, jnp.float32)
+        s_next, key = _next_row(super_entry[:, :], pending_bound(occ))
+        return occ, s_next, key
+
+    occ, _, _ = jax.lax.while_loop(s_cond, s_body, (occ0, s0, k0))
+    return occ
+
+
 def _make_any_kernel(leaf: int, num_supers: int, rt_count: int):
     def kernel(
         o_ref, d_ref, tmax_ref, start_ref, super_min_ref, super_max_ref,
@@ -335,53 +389,11 @@ def _make_any_kernel(leaf: int, num_supers: int, rt_count: int):
             (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
                 o_ref, d_ref, tmax_ref, rt
             )
-            super_entry[:, :] = _slab_entry_rows(
-                super_min_ref[:, :], super_max_ref[:, :],
-                ox, oy, oz, ix, iy, iz, tmax,
+            occ = _any_tile_sweep(
+                (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
+                start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
             )
-
-            # Early-exit occlusion sweep: keep testing the nearest super /
-            # cluster any unoccluded lane still overlaps; once every lane is
-            # occluded (or nothing overlaps) the selection key goes +inf.
-            # int32 occlusion carry: Mosaic cannot legalize i1-vector carries.
-            def pending_bound(occ, tmax=tmax):
-                # Unoccluded lanes keep their tmax bound; occluded lanes drop
-                # out by bounding at -inf (no entry can be < -inf).
-                return jnp.where(occ == 0, tmax, -jnp.inf)
-
-            occ0 = jnp.zeros((tmax.shape[0],), jnp.int32)
-            s0, k0 = _next_row(super_entry[:, :], pending_bound(occ0))
-
-            def s_cond(state):
-                return jnp.isfinite(state[2])
-
-            def s_body(
-                state,
-                ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
-                ix=ix, iy=iy, iz=iz, tmax=tmax, pending_bound=pending_bound,
-            ):
-                occ, s, _ = state
-                _fetch_super(table_hbm, tbuf, sem, cache_tag, s)
-                cl_entry[:, :] = _slab_entry_rows(
-                    cl_planes_ref[s, 0], cl_planes_ref[s, 1],
-                    ox, oy, oz, ix, iy, iz, tmax,
-                )
-
-                def test_one(j, occ, dx=dx, dy=dy, dz=dz,
-                             ox=ox, oy=oy, oz=oz, tmax=tmax):
-                    need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
-                    t_cand, _ = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, tmax)
-                    occ = jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
-                    return occ, pending_bound(occ)
-
-                occ, _ = _cluster_sweep(
-                    tbuf, cl_entry, test_one, pending_bound(occ), occ
-                )
-                super_entry[s, :] = jnp.full((occ.shape[0],), jnp.inf, jnp.float32)
-                s_next, key = _next_row(super_entry[:, :], pending_bound(occ))
-                return occ, s_next, key
-
-            occ, _, _ = jax.lax.while_loop(s_cond, s_body, (occ0, s0, k0))
             occ_out_ref[rt, 0, :] = occ
 
     return kernel

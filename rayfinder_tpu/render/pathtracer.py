@@ -609,20 +609,27 @@ def _accumulate_regen_fused(
     u, v_tex, noise_base_full, inv_dims, noise_of, primary,
     num_bounces, spp, num_frames, any_hit, compact_floor,
 ):
-    """Fused-path regeneration: the persistent path kernel
-    (ops/pallas_regen.pallas_trace_regen) consumes every consecutive MISS
-    segment on-chip — sky evaluation and primary regeneration happen inside
-    the traversal kernel — so the XLA wavefront below runs exactly once per
-    HIT segment (texturing / NEE / scatter need HBM gathers the kernel
-    cannot do). On Duck ~90% of segments are misses: this removes ~90% of
-    the outer iterations and their full-width shading passes.
+    """Fused-path regeneration around the persistent path kernel
+    (ops/pallas_regen.pallas_trace_regen).
 
-    Phase compaction as in accumulate_samples_regen, with one difference:
-    compacted lanes accumulate into per-lane channels that are scatter-added
-    to their pixels at phase END (the kernel folds miss radiance into lane
-    state internally, so per-termination scatters are impossible). The
-    partial-sum regrouping deviates from the lane-exact order by a few ulps;
-    tests/test_pallas_regen.py budgets it.
+    Division of labor per outer iteration:
+      * kernel — resolves the previous segment's pending NEE light sample
+        (occlusion sweep + contribution add), terminates depth-limited
+        paths (sample flush + in-kernel primary regeneration), then traces
+        every in-flight ray to its next hit, consuming ALL consecutive miss
+        segments on-chip (sky evaluation + regeneration in-register);
+      * XLA shade — surface interaction, texture, light/scatter sampling:
+        the HBM gathers the kernel cannot do. It only PREPARES the NEE
+        (shadow ray + unoccluded contribution) and the continuation ray;
+        the next kernel call applies them, preserving the per-lane f32
+        accumulation order of the unfused loop.
+
+    On Duck ~90% of segments are misses, so this runs one outer iteration
+    per HIT segment and zero extra dispatches. Phase compaction as in
+    accumulate_samples_regen; compacted lanes accumulate into per-lane
+    channels scatter-added to their pixels at phase END (per-termination
+    scatters are impossible with in-kernel flushes) — a few-ulp regrouping
+    budgeted by tests/test_pallas_regen.py.
     """
     from ..ops.pallas_regen import pallas_trace_regen
 
@@ -635,14 +642,17 @@ def _accumulate_regen_fused(
 
     def make_body(u, v_tex, noise_base):
         def body(st):
-            sample, bounce, origin, direction, thr, srad, lrad = st
+            (sample, bounce, flag, origin, direction, thr, srad, lrad,
+             sh_o, sh_d, contrib) = st
             (sample, bounce, origin, direction, thr, srad, lrad, _t, tri
              ) = pallas_trace_regen(
                 scene, camera, sky, u, v_tex, noise_base, inv_dims, frame_base,
                 spp_dyn, nf, T_MAX,
-                sample, bounce, origin, direction, thr, srad, lrad,
+                sample, bounce, flag, origin, direction, thr, srad, lrad,
+                sh_o, sh_d, contrib,
             )
-            # Every live lane is now stopped at a surface hit; shade it.
+            # Every live lane is now stopped at a surface hit; prepare its
+            # NEE and continuation (the next kernel call applies them).
             live = sample < nf
             hit = live & (tri >= 0)
             noise = noise_of(noise_base, sample)
@@ -657,53 +667,42 @@ def _accumulate_regen_fused(
             brdf = albedo * FRAC_1_PI
             cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
             p_ok = jnp.all(jnp.isfinite(p), axis=-1)
-            shadow_origin = jnp.where((hit & p_ok)[:, None], p, park)
-            occluded = any_hit(
-                scene, shadow_origin, jnp.broadcast_to(light_dir, p.shape), T_MAX
-            )
-            visibility = jnp.where(occluded, jnp.float32(0.0), jnp.float32(1.0))[:, None]
-            contrib = (
-                thr * solar_radiance * brdf * cos_term * visibility * SOLAR_INV_PDF
-            )
-            srad = jnp.where(hit[:, None], srad + contrib, srad)
+            sh_o = jnp.where((hit & p_ok)[:, None], p, park)
+            sh_d = jnp.broadcast_to(light_dir, p.shape)
+            contrib = thr * solar_radiance * brdf * cos_term * SOLAR_INV_PDF
+            contrib = jnp.where(hit[:, None], contrib, jnp.float32(0.0))
 
             wi = sample_cosine_hemisphere(noise, n)
             ray_ok = jnp.all(jnp.isfinite(wi), axis=-1) & p_ok
             scatter = hit & (bounce < jnp.int32(num_bounces)) & ray_ok
-            term = hit & ~scatter
-            lrad = jnp.where(term[:, None], lrad + srad, lrad)
-            srad = jnp.where(term[:, None], jnp.float32(0.0), srad)
-            sample = jnp.where(term, sample + 1, sample)
-            regen = term & (sample < nf)
-
-            noise_new = noise_of(noise_base, sample)
-            po, pd = primary(u, v_tex, noise_new)
-            origin = jnp.where(
-                scatter[:, None], p, jnp.where(regen[:, None], po, origin)
-            )
-            direction = jnp.where(
-                scatter[:, None], wi, jnp.where(regen[:, None], pd, direction)
-            )
-            thr = jnp.where(
-                scatter[:, None], thr * albedo,
-                jnp.where(regen[:, None], jnp.float32(1.0), thr),
-            )
-            bounce = jnp.where(scatter, bounce + 1, jnp.where(regen, 1, bounce))
-            return sample, bounce, origin, direction, thr, srad, lrad
+            # flag: 1 = NEE pending + scatter continuation; 2 = NEE pending +
+            # terminate (the kernel flushes the sample and regenerates).
+            flag = jnp.where(hit, jnp.where(scatter, 1, 2), 0).astype(jnp.int32)
+            origin = jnp.where(scatter[:, None], p, origin)
+            direction = jnp.where(scatter[:, None], wi, direction)
+            thr = jnp.where(scatter[:, None], thr * albedo, thr)
+            bounce = jnp.where(scatter, bounce + 1, bounce)
+            return (sample, bounce, flag, origin, direction, thr, srad, lrad,
+                    sh_o, sh_d, contrib)
 
         return body
 
     sample0 = jnp.zeros((batch,), jnp.int32)
     noise0 = noise_of(noise_base_full, sample0)
     o0, d0 = primary(u, v_tex, noise0)
+    z3 = jnp.zeros((batch, 3), jnp.float32)
     state = (
         sample0,
         jnp.ones((batch,), jnp.int32),
+        jnp.zeros((batch,), jnp.int32),  # no pending NEE on entry
         o0,
         d0,
         jnp.ones((batch, 3), jnp.float32),
-        jnp.zeros((batch, 3), jnp.float32),
+        z3,
         accum,  # phase 1: lane == pixel, exact accumulation grouping
+        jnp.broadcast_to(park, (batch, 3)),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), (batch, 3)),
+        z3,
     )
     body = make_body(u, v_tex, noise_base_full)
 
@@ -716,8 +715,10 @@ def _accumulate_regen_fused(
 
         state = jax.lax.while_loop(above, body, state)
 
-        sample, bounce, origin, direction, thr, srad, lrad = state
-        # Flush lane radiance to pixels, then compact the busy lanes.
+        (sample, bounce, flag, origin, direction, thr, srad, lrad,
+         sh_o, sh_d, contrib) = state
+        # Flush lane radiance to pixels, then compact the busy lanes
+        # (pending NEE state rides along and resolves in the next phase).
         if pix is None:
             lrad_full = lrad
         else:
@@ -731,8 +732,9 @@ def _accumulate_regen_fused(
         pix = jnp.where(valid, pix, jnp.int32(batch))  # out of range -> drop
         cur_u, cur_v, cur_nb = take(cur_u), take(cur_v), take(cur_nb)
         state = (
-            sample, take(bounce), take(origin), take(direction),
+            sample, take(bounce), take(flag), take(origin), take(direction),
             take(thr), take(srad), jnp.zeros((size, 3), jnp.float32),
+            take(sh_o), take(sh_d), take(contrib),
         )
         body = make_body(cur_u, cur_v, cur_nb)
 
@@ -740,7 +742,7 @@ def _accumulate_regen_fused(
         return jnp.any(st[0] < nf)
 
     state = jax.lax.while_loop(any_left, body, state)
-    lrad = state[6]
+    lrad = state[7]
     if pix is None:
         return lrad
     return lrad_full.at[pix].add(lrad, mode="drop")
