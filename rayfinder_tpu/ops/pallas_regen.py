@@ -159,7 +159,12 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
         t_max = fscal[_F_T_MAX]
         neg_inf = jnp.float32(-jnp.inf)
 
-        for rt in range(rt_count):
+        # The per-tile body contains the NEE occlusion sweep plus the
+        # 3-level trace/regen loop; statically unrolling it rt_count times
+        # made the Mosaic program big enough to take ~20min to compile.
+        # A fori_loop with a dynamic leading-dim tile index compiles the
+        # body ONCE (dynamic indexing is legal on the leading dim only).
+        def per_tile(rt, _):
             sample = counters_ref[rt, 0, :]
             bounce = counters_ref[rt, 1, :]
             flag = counters_ref[rt, 2, :]
@@ -315,6 +320,9 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
             shade_out[rt, 8, :] = l2
             t_out[rt, 0, :] = tfin
             tri_out[rt, 0, :] = trifin
+            return 0
+
+        jax.lax.fori_loop(0, rt_count, per_tile, 0)
 
     return kernel
 
