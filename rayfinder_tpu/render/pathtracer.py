@@ -470,7 +470,7 @@ def accumulate_samples_regen(
             u=u, v_tex=v_tex, noise_base_full=noise_base_full,
             inv_dims=inv_dims, noise_of=_noise_of, primary=_primary,
             num_bounces=num_bounces, spp=spp, num_frames=num_frames,
-            any_hit=any_hit, compact_floor=compact_floor,
+            compact_floor=compact_floor,
         )
 
     def make_phase(u, v_tex, noise_base, pix):
@@ -607,7 +607,7 @@ def accumulate_samples_regen(
 def _accumulate_regen_fused(
     scene, sky, camera, frame_base, accum, *,
     u, v_tex, noise_base_full, inv_dims, noise_of, primary,
-    num_bounces, spp, num_frames, any_hit, compact_floor,
+    num_bounces, spp, num_frames, compact_floor,
 ):
     """Fused-path regeneration around the persistent path kernel
     (ops/pallas_regen.pallas_trace_regen).
