@@ -68,6 +68,28 @@ def test_fused_regen_compaction(duck_device_scene):
     )
 
 
+def test_fused_regen_single_bounce(duck_device_scene):
+    """num_bounces=1: every hit terminates through the kernel's NEE prologue
+    (flag==2 path) — no scatter continuations at all."""
+    w, h, spp = 48, 32, 3
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, w / h)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=1, spp=spp, num_frames=spp)
+
+    wave = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="wavefront", **kw,
+    )
+    fused = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="pallas", **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(wave), rtol=2e-4, atol=1e-5
+    )
+
+
 def test_fused_regen_frame_base(duck_device_scene):
     """Two fused dispatches of spp/2 == one dispatch of spp."""
     w, h, spp = 32, 24, 4
