@@ -25,6 +25,7 @@ stream matches render/rng.animated_blue_noise bit-for-bit (mul/floor only).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -48,6 +49,9 @@ _PI = np.float32(np.pi)
 _A1 = np.float32(0.7548776662466927)
 _A2 = np.float32(0.5698402909980532)
 # Abramowitz & Stegun 4.4.45 acos fit on [0, 1], |eps| <= 2e-8 rad.
+# Trace/regen rounds per while iteration in the path kernel's main loop
+# (sync amortization; results are identical for any value >= 1).
+_ROUND_UNROLL = int(os.environ.get("RAYFINDER_REGEN_UNROLL", "2"))
 _ACOS_C = [np.float32(c) for c in (
     1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
     0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911,
@@ -237,7 +241,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
             def cond(st):
                 return st[-1] > 0
 
-            def body(st, u_row=u_row, v_row=v_row, nb0=nb0, nb1=nb1):
+            def one_round(st, u_row=u_row, v_row=v_row, nb0=nb0, nb1=nb1):
                 (sample, bounce, ox, oy, oz, dx, dy, dz,
                  t0, t1, t2, s0, s1, s2, l0, l1, l2,
                  tfin, trifin, stopped, _) = st
@@ -292,6 +296,16 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
                 return (sample, bounce, ox, oy, oz, dx, dy, dz,
                         t0, t1, t2, s0, s1, s2, l0, l1, l2,
                         tfin, trifin, stopped, flag)
+
+            def body(st):
+                # Two rounds per while iteration: each scalar/vector sync
+                # (loop condition + selection argmins) costs as much as a
+                # sweep, and all-miss tiles (pure sky) run one round per
+                # sample — unrolling halves that overhead. A round with no
+                # in-flight lanes degenerates to a rejected sweep (cheap).
+                for _ in range(_ROUND_UNROLL):
+                    st = one_round(st)
+                return st
 
             st = (sample, bounce, ox, oy, oz, dx, dy, dz,
                   t0, t1, t2, s0, s1, s2, l0, l1, l2,
