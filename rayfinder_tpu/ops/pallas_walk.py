@@ -302,8 +302,9 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int):
         def _():
             cache_tag[0] = jnp.int32(-1)
 
-        # Statically unrolled loop over the ray tiles in this grid step.
-        for rt in range(rt_count):
+        # fori_loop with a dynamic leading-dim tile index: the sweep body
+        # compiles once instead of rt_count times (Mosaic compile time).
+        def per_tile(rt, _):
             (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
                 o_ref, d_ref, tmax_ref, rt
             )
@@ -314,6 +315,9 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int):
             )
             t_out_ref[rt, 0, :] = bt
             tri_out_ref[rt, 0, :] = btri
+            return 0
+
+        jax.lax.fori_loop(0, rt_count, per_tile, 0)
 
     return kernel
 
@@ -385,7 +389,7 @@ def _make_any_kernel(leaf: int, num_supers: int, rt_count: int):
         def _():
             cache_tag[0] = jnp.int32(-1)
 
-        for rt in range(rt_count):
+        def per_tile(rt, _):
             (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
                 o_ref, d_ref, tmax_ref, rt
             )
@@ -395,6 +399,9 @@ def _make_any_kernel(leaf: int, num_supers: int, rt_count: int):
                 table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
             )
             occ_out_ref[rt, 0, :] = occ
+            return 0
+
+        jax.lax.fori_loop(0, rt_count, per_tile, 0)
 
     return kernel
 
