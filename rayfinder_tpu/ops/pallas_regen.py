@@ -26,7 +26,6 @@ stream matches render/rng.animated_blue_noise bit-for-bit (mul/floor only).
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import numpy as np
 import jax
