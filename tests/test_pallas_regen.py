@@ -45,6 +45,33 @@ def test_fused_regen_matches_wavefront(duck_device_scene):
     )
 
 
+def test_fused_regen_procedural_scene():
+    """Textureless triangle-soup scene (1x1 white texel, degenerate-normal
+    candidates) through the fused kernel."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from __graft_entry__ import _procedural_scene
+
+    scene = _procedural_scene(num_triangles=256)
+    w, h, spp = 40, 32, 3
+    cam = create_camera([0.0, 0.0, 12.0], [0.0, 0.0, 0.0], 0.0, 1.0, 70.0, w / h)
+    sky = sky_state_from_ui(1.5, (0.8, 0.8, 0.8), 35.0, 10.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=3, spp=spp, num_frames=spp)
+
+    wave = accumulate_samples_regen(
+        scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="wavefront", **kw,
+    )
+    fused = accumulate_samples_regen(
+        scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="pallas", **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(wave), rtol=2e-4, atol=1e-5
+    )
+
+
 def test_fused_regen_compaction(duck_device_scene):
     """Forced compaction (tiny floor) agrees with the single-phase fused run
     up to the documented partial-sum regrouping."""
