@@ -8,6 +8,12 @@ reference's instrumentation would: one closest-hit ray per bounce segment
 plus one NEE shadow ray per surface hit. vs_baseline is relative to the
 driver's north-star target of 200 Mrays/s/chip (BASELINE.md) — the reference
 itself publishes no numbers.
+
+The measurement runs in a CHILD process so that a TPU worker fault on the
+fast path (Pallas kernels through the axon tunnel) cannot take down the
+benchmark: the parent falls back engine-by-engine (pallas -> wavefront) and
+prints the first successful child's JSON line. A value of 0.0 means no
+engine survived (e.g. the tunnel is down).
 """
 
 from __future__ import annotations
@@ -15,6 +21,8 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -115,5 +123,64 @@ def _primary_hit_rate(scene, camera) -> float:
     return float(np.asarray(hit).mean())
 
 
+def _probe_device(timeout_s: float = 300.0) -> bool:
+    """Cheap tunnel-health check in a throwaway process (a dead axon tunnel
+    hangs every jax import; never touch jax in the parent)."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda a: (a*2+1).sum())(jnp.arange(16.0))))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _fail_line() -> str:
+    return json.dumps(
+        {
+            "metric": "duck_800x600_4bounce_path_trace",
+            "value": 0.0,
+            "unit": "Mrays/s/chip",
+            "vs_baseline": 0.0,
+        }
+    )
+
+
+def _parent() -> None:
+    if not _probe_device():
+        print(_fail_line())
+        return
+    for engine, timeout_s in (("pallas", 3000.0), ("wavefront", 3000.0)):
+        env = dict(os.environ)
+        env["RAYFINDER_BENCH_CHILD"] = "1"
+        env.setdefault("RAYFINDER_ENGINE", engine)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+                env=env,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        for line in (r.stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                print(line)
+                return
+        # Child died (worker fault?): give the TPU a moment before the
+        # fallback engine tries to attach.
+        time.sleep(30.0)
+    print(_fail_line())
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("RAYFINDER_BENCH_CHILD"):
+        main()
+    else:
+        _parent()

@@ -110,11 +110,16 @@ def render_step_sharded(
         total = jax.lax.psum(radiance, "samples")
         return accum_shard + total
 
+    # Pallas calls can't annotate their outputs' varying mesh axes
+    # (jax.ShapeDtypeStruct vma), so the vma checker must be off for the
+    # pallas engine; the XLA engines keep it on (render/traverse.py derives
+    # its while_loop carries from sharded inputs to satisfy it).
     return shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P("tiles"), P("tiles"), P("tiles")),
         out_specs=P("tiles"),
+        check_vma=(engine != "pallas"),
     )(accum, ys, xs)
 
 

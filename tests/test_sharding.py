@@ -54,3 +54,32 @@ def test_mesh_shapes():
     assert mesh.shape["tiles"] * mesh.shape["samples"] == 8
     mesh1 = make_render_mesh(jax.devices()[:1])
     assert mesh1.shape == {"tiles": 1, "samples": 1}
+
+
+def test_sharded_pallas_engine_matches_wavefront(duck_device_scene):
+    """The production Pallas kernels run per-shard under shard_map (vma
+    checking off for the pallas engine; see parallel/sharding.py)."""
+    from rayfinder_tpu.parallel.sharding import render_step_sharded
+    from rayfinder_tpu.render.rng import blue_noise_tile
+
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 4 / 3)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    w, h = 16, 12
+    mesh = make_render_mesh(jax.devices()[:8], sample_parallel=2)
+    tiles = mesh.shape["tiles"]
+    padded = -(-w * h // tiles) * tiles
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(mesh=mesh, width=w, height=h, num_bounces=2, spp=4)
+
+    def zeros():  # accum is donated; each call needs its own buffer
+        return jnp.zeros((padded, 3), jnp.float32)
+
+    out_p = render_step_sharded(
+        duck_device_scene, sky, cam, tile, jnp.int32(0), zeros(), engine="pallas", **kw
+    )
+    out_w = render_step_sharded(
+        duck_device_scene, sky, cam, tile, jnp.int32(0), zeros(), engine="wavefront", **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_w), rtol=1e-5, atol=1e-6
+    )
