@@ -5,6 +5,9 @@ interior courtyard (columns, crates, sunlit floor) without black/NaN tiles.
 
 import os
 import pathlib
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 pathlib.Path(os.environ["JAX_COMPILATION_CACHE_DIR"]).mkdir(parents=True, exist_ok=True)
@@ -21,7 +24,7 @@ from rayfinder_tpu.utils.image import write_png
 W, H = 1280, 720
 flat, textures = courtyard_scene(26)
 print("tris:", flat.positions.shape[0])
-scene = build_device_scene(flat, textures)
+scene = build_device_scene(flat, textures=textures)
 camera = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, W / H)
 sky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
 
