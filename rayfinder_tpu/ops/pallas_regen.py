@@ -49,8 +49,11 @@ _A1 = np.float32(0.7548776662466927)
 _A2 = np.float32(0.5698402909980532)
 # Abramowitz & Stegun 4.4.45 acos fit on [0, 1], |eps| <= 2e-8 rad.
 # Trace/regen rounds per while iteration in the path kernel's main loop
-# (sync amortization; results are identical for any value >= 1).
-_ROUND_UNROLL = int(os.environ.get("RAYFINDER_REGEN_UNROLL", "2"))
+# (results are identical for any value >= 1). A/B on TPU (2026-08-17):
+# 1 and 2 bench IDENTICAL (31.70 Mrays/s both) — the sync amortization the
+# unroll was meant to buy doesn't show at bench shapes, so default 1 for
+# the smaller Mosaic program (halves path-kernel compile time).
+_ROUND_UNROLL = int(os.environ.get("RAYFINDER_REGEN_UNROLL", "1"))
 _ACOS_C = [np.float32(c) for c in (
     1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
     0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911,

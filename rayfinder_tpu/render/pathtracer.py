@@ -58,7 +58,14 @@ _COMPACT_FLOOR = int(os.environ.get("RAYFINDER_COMPACT_FLOOR", "8192"))
 def _phase_sizes(batch: int, floor: int) -> list[int]:
     """Regen phase lane counts: [batch, batch/DIV, ...] down to `floor`.
     Sizes are rounded up to a 2048-lane granularity (small floors — tests —
-    shrink the granularity so multiple levels still exist)."""
+    shrink the granularity so multiple levels still exist).
+
+    RAYFINDER_PHASES overrides the tail with an explicit comma-separated
+    descending width list (perf experiments)."""
+    override = os.environ.get("RAYFINDER_PHASES")
+    if override:
+        widths = [int(w) for w in override.split(",") if int(w) < batch]
+        return [batch] + sorted(set(widths), reverse=True)
     gran = min(2048, max(floor, 16))
     sizes = [batch]
     while sizes[-1] > floor:
