@@ -41,10 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 EPSILON = np.float32(1e-5)  # numpy: a jnp scalar would be captured as a constant
 # Tunables (env-overridable for config scans; defaults are the tuned values).
 SUPER = int(os.environ.get("RAYFINDER_SUPER", "64"))  # clusters per super-cluster
-TILE = int(os.environ.get("RAYFINDER_TILE", "512"))  # rays per tile (32x16 pixels)
+# Rays per tile. A/B on the Duck bench (v5e, 2026-08-17): 128 benches 33.4
+# Mrays/s vs 31.7 at 512 and 21.2 at 64 — smaller tiles shrink the per-tile
+# cluster union (bounce-ray divergence) faster than the per-iteration sync
+# cost grows, until 64 where sync dominates.
+TILE = int(os.environ.get("RAYFINDER_TILE", "128"))
 # Ray tiles processed per grid step: amortizes the ~4us fixed cost of a
 # Mosaic grid step (measured on v5e: a no-op kernel at 469 steps costs ~2ms).
-RT = int(os.environ.get("RAYFINDER_RT", "8"))
+RT = int(os.environ.get("RAYFINDER_RT", "32"))
 # Big scenes prune better with finer tiles (the tile-union of overlapped
 # clusters shrinks faster than the per-test cost grows): measured 3.9 -> 3.3
 # s/sample on the 254K-tri courtyard at 720p. Scene shapes are static under
