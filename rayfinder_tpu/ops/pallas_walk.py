@@ -50,11 +50,13 @@ TILE = int(os.environ.get("RAYFINDER_TILE", "128"))
 # Mosaic grid step (measured on v5e: a no-op kernel at 469 steps costs ~2ms).
 RT = int(os.environ.get("RAYFINDER_RT", "32"))
 # Big scenes prune better with finer tiles (the tile-union of overlapped
-# clusters shrinks faster than the per-test cost grows): measured 3.9 -> 3.3
-# s/sample on the 254K-tri courtyard at 720p. Scene shapes are static under
-# jit, so the pick happens at trace time. Env TILE/RT force both paths.
-_BIG_TILE = int(os.environ.get("RAYFINDER_BIG_TILE", "256"))
-_BIG_RT = int(os.environ.get("RAYFINDER_BIG_RT", "16"))
+# clusters shrinks faster than the per-test cost grows). 128/32 A/B'd best
+# on BOTH scales (Duck 33.4 vs 31.7; 254K-tri courtyard 1.29 vs 0.86
+# Mrays/s vs the old 256/16) — kept as a separate knob for big-scene
+# retuning. Scene shapes are static under jit, so the pick happens at
+# trace time. Env TILE/RT force both paths.
+_BIG_TILE = int(os.environ.get("RAYFINDER_BIG_TILE", "128"))
+_BIG_RT = int(os.environ.get("RAYFINDER_BIG_RT", "32"))
 _BIG_CLUSTERS = int(os.environ.get("RAYFINDER_BIG_CLUSTERS", "512"))
 
 
@@ -169,23 +171,31 @@ def _next_row(entry, bt):
     return j, jnp.min(key)
 
 
-def _next_rows2(entry, bt):
-    """Front-to-back selection of the TWO nearest needed rows.
+# Clusters tested per sweep while-iteration: each iteration pays one
+# scalar/vector sync (loop condition + selection argmins), which costs as
+# much as a Möller-Trumbore block — wider K amortizes it at the price of up
+# to K-1 wasted (all-lanes-masked) MT blocks on the final iteration.
+_SWEEP_K = int(os.environ.get("RAYFINDER_SWEEP_K", "2"))
 
-    Returns (ja, ka, jb): the nearest and second-nearest untested rows by
-    their closest needing lane. ka == +inf is the early-exit condition; jb
-    may point at an exhausted row (its per-lane `need` masks are then all
-    false, so testing it is merely wasted compute on the final iteration).
-    Testing two rows per while iteration halves the scalar/vector sync count
-    per sweep, which costs as much as a full Möller-Trumbore block.
+
+def _next_rowsk(entry, bt, k: int):
+    """Front-to-back selection of the K nearest needed rows.
+
+    Returns ([j0..j(k-1)], key0): the K untested rows ordered by their
+    closest needing lane, and the nearest such distance. key0 == +inf is
+    the early-exit condition; trailing rows may point at exhausted rows
+    (their per-lane `need` masks are then all false, so testing them is
+    merely wasted compute on the final iteration).
     """
     masked = jnp.where(entry < bt[None, :], entry, jnp.inf)
     key = jnp.min(masked, axis=1, keepdims=True)  # (rows, 1)
-    ja = jnp.argmin(key, axis=0)[0].astype(jnp.int32)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
-    key_b = jnp.where(row_ids == ja, jnp.inf, key)
-    jb = jnp.argmin(key_b, axis=0)[0].astype(jnp.int32)
-    return ja, jnp.min(key), jb
+    js = []
+    for _ in range(k):
+        j = jnp.argmin(key, axis=0)[0].astype(jnp.int32)
+        js.append(j)
+        key = jnp.where(row_ids == j, jnp.inf, key)
+    return js, jnp.min(masked)
 
 
 def _fetch_super(table_hbm, tbuf, sem, cache_tag, s):
@@ -206,33 +216,34 @@ def _fetch_super(table_hbm, tbuf, sem, cache_tag, s):
 
 
 def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
-    """Inner front-to-back sweep over one super's clusters, TWO per iteration.
+    """Inner front-to-back sweep over one super's clusters, _SWEEP_K per
+    iteration.
 
     test_one(j, carry) -> (carry, bound): dense-test cluster j, fold into the
     carry, return the updated selection bound. Terminates when no cluster has
-    a lane with entry < bound. Erasing both selected rows is safe even when
-    the second was already exhausted: the bound only shrinks during a sweep,
-    so a row with no lane under the current bound can never be needed again.
+    a lane with entry < bound. Erasing every selected row is safe even when a
+    trailing one was already exhausted: the bound only shrinks during a
+    sweep, so a row with no lane under the current bound can never be needed
+    again.
     """
-    ja0, ka0, jb0 = _next_rows2(cl_entry[:, :], bound0)
+    k = _SWEEP_K
+    js0, key0 = _next_rowsk(cl_entry[:, :], bound0, k)
 
     def cond(state):
         return jnp.isfinite(state[-1])
 
     def body(state):
-        carry, bound, ja, jb, _ = state
-        carry, bound = test_one(ja, carry)
-        carry, bound = test_one(jb, carry)
+        carry, bound = state[0], state[1]
+        js = state[2:2 + k]
         inf_row = jnp.full((bound.shape[0],), jnp.inf, jnp.float32)
-        cl_entry[ja, :] = inf_row
-        cl_entry[jb, :] = inf_row
-        ja_n, ka_n, jb_n = _next_rows2(cl_entry[:, :], bound)
-        return carry, bound, ja_n, jb_n, ka_n
+        for j in js:
+            carry, bound = test_one(j, carry)
+            cl_entry[j, :] = inf_row
+        js_n, key_n = _next_rowsk(cl_entry[:, :], bound, k)
+        return (carry, bound, *js_n, key_n)
 
-    carry, bound, _, _, _ = jax.lax.while_loop(
-        cond, body, (carry0, bound0, ja0, jb0, ka0)
-    )
-    return carry, bound
+    state = jax.lax.while_loop(cond, body, (carry0, bound0, *js0, key0))
+    return state[0], state[1]
 
 
 def _closest_tile_sweep(
