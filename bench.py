@@ -154,28 +154,35 @@ def _parent() -> None:
     if not _probe_device():
         print(_fail_line())
         return
-    for engine, timeout_s in (("pallas", 3000.0), ("wavefront", 3000.0)):
+    # An explicit RAYFINDER_ENGINE is tried first; the XLA wavefront engine
+    # remains the fallback so a fast-path fault still yields a measurement.
+    engines = [os.environ.get("RAYFINDER_ENGINE", "pallas")]
+    if "wavefront" not in engines:
+        engines.append("wavefront")
+    for i, engine in enumerate(engines):
         env = dict(os.environ)
         env["RAYFINDER_BENCH_CHILD"] = "1"
-        env.setdefault("RAYFINDER_ENGINE", engine)
+        env["RAYFINDER_ENGINE"] = engine
         try:
             r = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
                 capture_output=True,
                 text=True,
-                timeout=timeout_s,
+                timeout=3000.0,
                 env=env,
             )
         except subprocess.TimeoutExpired:
-            continue
-        for line in (r.stdout or "").splitlines():
-            line = line.strip()
-            if line.startswith("{") and '"metric"' in line:
-                print(line)
-                return
-        # Child died (worker fault?): give the TPU a moment before the
-        # fallback engine tries to attach.
-        time.sleep(30.0)
+            r = None
+        if r is not None:
+            for line in (r.stdout or "").splitlines():
+                line = line.strip()
+                if line.startswith("{") and '"metric"' in line:
+                    print(line)
+                    return
+        if i + 1 < len(engines):
+            # Child died or hung (worker fault?): give the TPU a moment
+            # before the fallback engine tries to attach.
+            time.sleep(30.0)
     print(_fail_line())
 
 

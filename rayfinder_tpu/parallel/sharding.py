@@ -26,8 +26,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.7 exports shard_map at the top level
     from jax import shard_map
+
+    _VMA_KWARG = "check_vma"
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
+
+    _VMA_KWARG = "check_rep"  # pre-0.7 name for the same checker
 
 from ..render.camera import Camera, generate_camera_ray_lens
 from ..render.pathtracer import trace_radiance
@@ -119,7 +123,7 @@ def render_step_sharded(
         mesh=mesh,
         in_specs=(P("tiles"), P("tiles"), P("tiles")),
         out_specs=P("tiles"),
-        check_vma=(engine != "pallas"),
+        **{_VMA_KWARG: engine != "pallas"},
     )(accum, ys, xs)
 
 

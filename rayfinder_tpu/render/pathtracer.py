@@ -64,7 +64,8 @@ def _phase_sizes(batch: int, floor: int) -> list[int]:
     descending width list (perf experiments)."""
     override = os.environ.get("RAYFINDER_PHASES")
     if override:
-        widths = [int(w) for w in override.split(",") if int(w) < batch]
+        widths = [int(w) for w in override.replace(" ", "").split(",") if w]
+        widths = [w for w in widths if 0 < w < batch]
         return [batch] + sorted(set(widths), reverse=True)
     gran = min(2048, max(floor, 16))
     sizes = [batch]

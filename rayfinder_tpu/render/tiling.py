@@ -1,10 +1,10 @@
 """Pixel swizzling: block-major ray order for traversal coherence.
 
-The traversal engines prune work per 512-ray tile; rays laid out in image
+The traversal engines prune work per TILE-ray tile; rays laid out in image
 row-major order make a tile span a whole framebuffer row, whose frustum
-overlaps many clusters. Swizzling pixels into 32x16 blocks (exactly one
-Pallas tile per block) tightens each tile's spatial footprint, so the
-block-uniform pruning skips far more geometry.
+overlaps many clusters. Swizzling pixels into BLOCK_W x BLOCK_H blocks
+(exactly one Pallas tile per block) tightens each tile's spatial footprint,
+so the block-uniform pruning skips far more geometry.
 
 The permutation is static per framebuffer size: the path tracer generates
 rays, shades, and accumulates entirely in block order and unswizzles once at
@@ -17,11 +17,22 @@ import functools
 
 import numpy as np
 
-BLOCK_W = 32
+import os
+
 # Block area tracks the Pallas traversal tile size so each tile covers
-# exactly one contiguous pixel block (32x32 at TILE=1024, 32x16 at TILE=512).
+# exactly one contiguous pixel block (16x8 at the default TILE=128,
+# 32x16 at TILE=512). Near-square blocks minimize the tile frustum.
 from ..ops.pallas_walk import TILE as _TILE  # noqa: E402
 
+
+def _default_block_w(tile: int) -> int:
+    w = 1
+    while w * w < tile:
+        w *= 2
+    return w
+
+
+BLOCK_W = int(os.environ.get("RAYFINDER_BLOCK_W", str(_default_block_w(_TILE))))
 BLOCK_H = max(_TILE // BLOCK_W, 1)
 
 
