@@ -136,3 +136,34 @@ def test_fused_regen_frame_base(duck_device_scene):
             num_frames=spp // 2, **kw,
         )
     np.testing.assert_allclose(np.asarray(two), np.asarray(one), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_regen_multi_super_scene():
+    """An enclosed scene spanning several super-clusters: the path kernel's
+    NEE prologue and trace loop must walk supers front-to-back with DMA
+    (one-slot cache misses) and still agree with the XLA wavefront regen."""
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+    from rayfinder_tpu.ops.pallas_walk import SUPER
+
+    flat, textures = courtyard_scene(8)  # ~24K tris
+    scene = build_device_scene(flat, textures=textures)
+    assert scene.cluster_tris.shape[0] > SUPER  # spans >1 super
+
+    w, h, spp = 32, 24, 2
+    cam = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, w / h)
+    sky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=3, spp=spp, num_frames=spp)
+
+    wave = accumulate_samples_regen(
+        scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="wavefront", **kw,
+    )
+    fused = accumulate_samples_regen(
+        scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="pallas", **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(wave), rtol=2e-4, atol=1e-5
+    )
