@@ -26,6 +26,7 @@ stream matches render/rng.animated_blue_noise bit-for-bit (mul/floor only).
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import numpy as np
 import jax
@@ -369,12 +370,13 @@ def _pack_rows(arrs, tiles, tile):
     return rows.reshape(tiles, tile, len(arrs)).transpose(0, 2, 1)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("tile_override",))
 def pallas_trace_regen(
     scene, camera, sky, u, v_tex, noise_base, inv_dims, frame_base, spp_dyn,
     num_frames_dyn, t_max,
     sample, bounce, flag, origin, direction, thr, srad, lrad,
     shadow_o, shadow_d, contrib,
+    tile_override=None,
 ):
     """Advance every lane to its next HIT or exhaust its samples.
 
@@ -389,7 +391,10 @@ def pallas_trace_regen(
     sample (their sky radiance is already folded into lrad).
     """
     num_rays = u.shape[0]
-    tile, rt = _pick_tile(scene.cluster_tris.shape[0])
+    # Full-width phases are sync-bound (mostly in-kernel sky/regen rounds)
+    # and want BIG tiles; compacted bounce phases are divergence-bound and
+    # want small ones. The caller picks per phase (pathtracer.py).
+    tile, rt = tile_override or _pick_tile(scene.cluster_tris.shape[0])
     padded = -(-num_rays // (tile * rt)) * (tile * rt)
     pad = padded - num_rays
 

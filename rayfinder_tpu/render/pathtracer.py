@@ -648,7 +648,7 @@ def _accumulate_regen_fused(
     solar_radiance = jnp.asarray(sky.solar_radiances)
     park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
 
-    def make_body(u, v_tex, noise_base):
+    def make_body(u, v_tex, noise_base, tile_override=None):
         def body(st):
             (sample, bounce, flag, origin, direction, thr, srad, lrad,
              sh_o, sh_d, contrib) = st
@@ -658,6 +658,7 @@ def _accumulate_regen_fused(
                 spp_dyn, nf, T_MAX,
                 sample, bounce, flag, origin, direction, thr, srad, lrad,
                 sh_o, sh_d, contrib,
+                tile_override=tile_override,
             )
             # Every live lane is now stopped at a surface hit; prepare its
             # NEE and continuation (the next kernel call applies them).
@@ -712,7 +713,16 @@ def _accumulate_regen_fused(
         jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), (batch, 3)),
         z3,
     )
-    body = make_body(u, v_tex, noise_base_full)
+    # Full-width phase of SMALL (mostly-sky) scenes: big sync-amortizing
+    # tiles (one 32x16 pixel block each); compacted phases below use the
+    # divergence-tuned default (16x8 sub-blocks). Measured (Duck 64spp):
+    # the full-width phase at 128-lane tiles costs 0.44s vs 0.21s at 512 —
+    # its in-kernel sky/regen rounds are sync-bound, not divergent. Big
+    # enclosed scenes stay divergence-bound at full width (courtyard at
+    # 512-lane tiles loses 34%), so they keep the small tiles throughout.
+    small_scene = scene.cluster_tris.shape[0] <= SORT_THRESHOLD
+    full_tiles = (512, 8) if (small_scene and batch >= 512 * 8) else None
+    body = make_body(u, v_tex, noise_base_full, tile_override=full_tiles)
 
     floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
     lrad_full = None
