@@ -53,6 +53,10 @@ _SORT_BITS = int(os.environ.get("RAYFINDER_SORT_BITS", "5"))
 # tail holds <9% live lanes yet costs the same per iteration as a full one.
 _COMPACT_DIV = int(os.environ.get("RAYFINDER_COMPACT_DIV", "8"))
 _COMPACT_FLOOR = int(os.environ.get("RAYFINDER_COMPACT_FLOOR", "8192"))
+# Ray-tile size for the FULL-WIDTH regen phase of small scenes (sync-bound
+# in-kernel sky/regen rounds; the compacted phases use the divergence-tuned
+# ops.pallas_walk defaults). See _accumulate_regen_fused.
+_FULL_TILE = int(os.environ.get("RAYFINDER_FULL_TILE", "1024"))
 
 
 def _phase_sizes(batch: int, floor: int) -> list[int]:
@@ -721,7 +725,8 @@ def _accumulate_regen_fused(
     # enclosed scenes stay divergence-bound at full width (courtyard at
     # 512-lane tiles loses 34%), so they keep the small tiles throughout.
     small_scene = scene.cluster_tris.shape[0] <= SORT_THRESHOLD
-    full_tiles = (512, 8) if (small_scene and batch >= 512 * 8) else None
+    ft = _FULL_TILE
+    full_tiles = (ft, 4096 // ft) if (small_scene and batch >= 4096) else None
     body = make_body(u, v_tex, noise_base_full, tile_override=full_tiles)
 
     floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
