@@ -51,7 +51,10 @@ _SORT_BITS = int(os.environ.get("RAYFINDER_SORT_BITS", "5"))
 # 1/DIV the size (repeatedly, down to FLOOR lanes). Measured on Duck 64spp:
 # the while loop runs 220 iterations but only the first ~64 are full — the
 # tail holds <9% live lanes yet costs the same per iteration as a full one.
-_COMPACT_DIV = int(os.environ.get("RAYFINDER_COMPACT_DIV", "8"))
+# DIV=10 on the Duck bench gives phases [480000, 49152, 8192]: the
+# tighter first compaction cuts dead rows in every phase-1 shade
+# gather (live ~43K; benched 45.7 vs 44.2 at DIV=8's 61440 width).
+_COMPACT_DIV = int(os.environ.get("RAYFINDER_COMPACT_DIV", "10"))
 _COMPACT_FLOOR = int(os.environ.get("RAYFINDER_COMPACT_FLOOR", "8192"))
 # Ray-tile size for the FULL-WIDTH regen phase of small scenes (sync-bound
 # in-kernel sky/regen rounds; the compacted phases use the divergence-tuned
