@@ -619,6 +619,53 @@ def accumulate_samples_regen(
     return state[6]
 
 
+# Per-iteration lane sorting in the fused regen loop (see
+# _accumulate_regen_fused_sorted): "auto" enables it for big scenes only
+# (cluster count > SORT_THRESHOLD), "1" forces it on, "0" off. Read at trace
+# time; changing it requires a fresh jit cache entry (different shapes or a
+# cleared cache).
+def _regen_sort_enabled(scene) -> bool:
+    mode = os.environ.get("RAYFINDER_REGEN_SORT", "auto")
+    if mode == "auto":
+        return scene.cluster_tris.shape[0] > SORT_THRESHOLD
+    return mode == "1"
+
+
+def _nee_and_continuation(
+    scene, noise, origin, direction, tri, thr, bounce, live,
+    sun_dir, solar_radiance, park, num_bounces,
+):
+    """Shared XLA shade step of the fused regen loop: for lanes stopped at a
+    surface hit, prepare the NEE light sample (shadow ray + unoccluded
+    contribution) and the scatter continuation; the NEXT kernel call applies
+    them. Returns (flag, origin, direction, thr, bounce, sh_o, sh_d,
+    contrib)."""
+    hit = live & (tri >= 0)
+    safe_tri = jnp.maximum(tri, 0)
+    p, n, uv, tex, _ = _surface_interaction(scene, origin, direction, safe_tri)
+    albedo = eval_texture(scene, tex, uv)
+    light_dir = sample_solar_disk_direction(noise, SOLAR_COS_THETA_MAX, sun_dir)
+    brdf = albedo * FRAC_1_PI
+    cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
+    p_ok = jnp.all(jnp.isfinite(p), axis=-1)
+    sh_o = jnp.where((hit & p_ok)[:, None], p, park)
+    sh_d = jnp.broadcast_to(light_dir, p.shape)
+    contrib = thr * solar_radiance * brdf * cos_term * SOLAR_INV_PDF
+    contrib = jnp.where(hit[:, None], contrib, jnp.float32(0.0))
+
+    wi = sample_cosine_hemisphere(noise, n)
+    ray_ok = jnp.all(jnp.isfinite(wi), axis=-1) & p_ok
+    scatter = hit & (bounce < jnp.int32(num_bounces)) & ray_ok
+    # flag: 1 = NEE pending + scatter continuation; 2 = NEE pending +
+    # terminate (the kernel flushes the sample and regenerates).
+    flag = jnp.where(hit, jnp.where(scatter, 1, 2), 0).astype(jnp.int32)
+    origin = jnp.where(scatter[:, None], p, origin)
+    direction = jnp.where(scatter[:, None], wi, direction)
+    thr = jnp.where(scatter[:, None], thr * albedo, thr)
+    bounce = jnp.where(scatter, bounce + 1, bounce)
+    return flag, origin, direction, thr, bounce, sh_o, sh_d, contrib
+
+
 def _accumulate_regen_fused(
     scene, sky, camera, frame_base, accum, *,
     u, v_tex, noise_base_full, inv_dims, noise_of, primary,
@@ -648,6 +695,15 @@ def _accumulate_regen_fused(
     """
     from ..ops.pallas_regen import pallas_trace_regen
 
+    if _regen_sort_enabled(scene):
+        return _accumulate_regen_fused_sorted(
+            scene, sky, camera, frame_base, accum,
+            u=u, v_tex=v_tex, noise_base_full=noise_base_full,
+            inv_dims=inv_dims, noise_of=noise_of, primary=primary,
+            num_bounces=num_bounces, spp=spp, num_frames=num_frames,
+            compact_floor=compact_floor,
+        )
+
     batch = u.shape[0]
     nf = jnp.int32(num_frames)
     spp_dyn = jnp.int32(spp)
@@ -670,34 +726,12 @@ def _accumulate_regen_fused(
             # Every live lane is now stopped at a surface hit; prepare its
             # NEE and continuation (the next kernel call applies them).
             live = sample < nf
-            hit = live & (tri >= 0)
             noise = noise_of(noise_base, sample)
-            safe_tri = jnp.maximum(tri, 0)
-            p, n, uv, tex, _ = _surface_interaction(
-                scene, origin, direction, safe_tri
+            (flag, origin, direction, thr, bounce, sh_o, sh_d, contrib
+             ) = _nee_and_continuation(
+                scene, noise, origin, direction, tri, thr, bounce, live,
+                sun_dir, solar_radiance, park, num_bounces,
             )
-            albedo = eval_texture(scene, tex, uv)
-            light_dir = sample_solar_disk_direction(
-                noise, SOLAR_COS_THETA_MAX, sun_dir
-            )
-            brdf = albedo * FRAC_1_PI
-            cos_term = jnp.sum(n * light_dir, axis=-1, keepdims=True)
-            p_ok = jnp.all(jnp.isfinite(p), axis=-1)
-            sh_o = jnp.where((hit & p_ok)[:, None], p, park)
-            sh_d = jnp.broadcast_to(light_dir, p.shape)
-            contrib = thr * solar_radiance * brdf * cos_term * SOLAR_INV_PDF
-            contrib = jnp.where(hit[:, None], contrib, jnp.float32(0.0))
-
-            wi = sample_cosine_hemisphere(noise, n)
-            ray_ok = jnp.all(jnp.isfinite(wi), axis=-1) & p_ok
-            scatter = hit & (bounce < jnp.int32(num_bounces)) & ray_ok
-            # flag: 1 = NEE pending + scatter continuation; 2 = NEE pending +
-            # terminate (the kernel flushes the sample and regenerates).
-            flag = jnp.where(hit, jnp.where(scatter, 1, 2), 0).astype(jnp.int32)
-            origin = jnp.where(scatter[:, None], p, origin)
-            direction = jnp.where(scatter[:, None], wi, direction)
-            thr = jnp.where(scatter[:, None], thr * albedo, thr)
-            bounce = jnp.where(scatter, bounce + 1, bounce)
             return (sample, bounce, flag, origin, direction, thr, srad, lrad,
                     sh_o, sh_d, contrib)
 
@@ -772,6 +806,157 @@ def _accumulate_regen_fused(
     if pix is None:
         return lrad
     return lrad_full.at[pix].add(lrad, mode="drop")
+
+
+def _accumulate_regen_fused_sorted(
+    scene, sky, camera, frame_base, accum, *,
+    u, v_tex, noise_base_full, inv_dims, noise_of, primary,
+    num_bounces, spp, num_frames, compact_floor,
+):
+    """_accumulate_regen_fused with PER-ITERATION LANE SORTING: after every
+    kernel call the lanes are reordered by the hit-triangle index the kernel
+    just returned (leaf order is the SAH builder's space-filling walk, so
+    consecutive keys = spatially adjacent surface points). The next kernel
+    call therefore sees ray tiles whose scatter origins share clusters,
+    collapsing the block-uniform divergence penalty that dominates enclosed
+    scenes (measured courtyard: a 128-lane tile tests a union of 43.5
+    clusters when its lanes need only 1.68 each). Exhausted lanes sort to
+    the tail, where fully-dead tiles early-exit the sweeps for free.
+
+    The permutation cost is ONE argsort plus ONE row gather: the whole lane
+    state is packed into a single (size, 23) matrix (TPU gathers are
+    row-count bound, not byte bound — a 23-column gather costs the same as a
+    3-column one). An earlier experiment that permuted 11 arrays separately
+    lost 30% on Duck; the packed form removes that overhead.
+
+    Because lanes migrate, every phase tracks a pixel map from the start
+    (pix), and lane radiance scatter-adds to pixels at phase END — the same
+    few-ulp f32 regrouping the unsorted path's compacted phases already
+    have, here also applied to phase 1 (budgeted by tests; far inside the
+    renderer's 1e-3 RMSE contract)."""
+    from ..ops.pallas_regen import pallas_trace_regen
+
+    batch = u.shape[0]
+    nf = jnp.int32(num_frames)
+    spp_dyn = jnp.int32(spp)
+    sun_dir = jnp.asarray(sky.sun_direction)
+    solar_radiance = jnp.asarray(sky.solar_radiances)
+    park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
+    dead_key = jnp.int32(2**30)
+
+    def make_body(tile_override=None):
+        def body(st):
+            (sample, bounce, flag, origin, direction, thr, srad, lrad,
+             sh_o, sh_d, contrib, uu, vv, nb, pix) = st
+            (sample, bounce, origin, direction, thr, srad, lrad, _t, tri
+             ) = pallas_trace_regen(
+                scene, camera, sky, uu, vv, nb, inv_dims, frame_base,
+                spp_dyn, nf, T_MAX,
+                sample, bounce, flag, origin, direction, thr, srad, lrad,
+                sh_o, sh_d, contrib,
+                tile_override=tile_override,
+            )
+            live = sample < nf
+            order = jnp.argsort(
+                jnp.where(live, tri, dead_key), stable=True
+            )
+            # One packed row gather moves the whole lane state (sh_*/contrib/
+            # flag are rebuilt by the shade below and need no permute).
+            packed = jnp.concatenate(
+                [
+                    origin, direction, thr, srad, lrad,
+                    uu[:, None], vv[:, None], nb,
+                    jax.lax.bitcast_convert_type(
+                        jnp.stack([sample, bounce, tri, pix], axis=1),
+                        jnp.float32,
+                    ),
+                ],
+                axis=1,
+            )[order]
+            origin = packed[:, 0:3]
+            direction = packed[:, 3:6]
+            thr = packed[:, 6:9]
+            srad = packed[:, 9:12]
+            lrad = packed[:, 12:15]
+            uu = packed[:, 15]
+            vv = packed[:, 16]
+            nb = packed[:, 17:19]
+            ints = jax.lax.bitcast_convert_type(packed[:, 19:23], jnp.int32)
+            sample = ints[:, 0]
+            bounce = ints[:, 1]
+            tri = ints[:, 2]
+            pix = ints[:, 3]
+
+            live = sample < nf
+            noise = noise_of(nb, sample)
+            (flag, origin, direction, thr, bounce, sh_o, sh_d, contrib
+             ) = _nee_and_continuation(
+                scene, noise, origin, direction, tri, thr, bounce, live,
+                sun_dir, solar_radiance, park, num_bounces,
+            )
+            return (sample, bounce, flag, origin, direction, thr, srad, lrad,
+                    sh_o, sh_d, contrib, uu, vv, nb, pix)
+
+        return body
+
+    sample0 = jnp.zeros((batch,), jnp.int32)
+    noise0 = noise_of(noise_base_full, sample0)
+    o0, d0 = primary(u, v_tex, noise0)
+    z3 = jnp.zeros((batch, 3), jnp.float32)
+    state = (
+        sample0,
+        jnp.ones((batch,), jnp.int32),
+        jnp.zeros((batch,), jnp.int32),  # no pending NEE on entry
+        o0,
+        d0,
+        jnp.ones((batch, 3), jnp.float32),
+        z3,
+        z3,  # lane radiance; scatter-added into pixels at phase end
+        jnp.broadcast_to(park, (batch, 3)),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), (batch, 3)),
+        z3,
+        u,
+        v_tex,
+        noise_base_full,
+        jnp.arange(batch, dtype=jnp.int32),  # pix: lanes migrate from iter 1
+    )
+    small_scene = scene.cluster_tris.shape[0] <= SORT_THRESHOLD
+    ft = _FULL_TILE
+    full_tiles = (ft, 4096 // ft) if (small_scene and batch >= 4096) else None
+    body = make_body(tile_override=full_tiles)
+
+    floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
+    lrad_full = accum
+    for size in _phase_sizes(batch, floor)[1:]:
+        def above(st, size=size):
+            return jnp.sum((st[0] < nf).astype(jnp.int32)) > jnp.int32(size)
+
+        state = jax.lax.while_loop(above, body, state)
+
+        (sample, bounce, flag, origin, direction, thr, srad, lrad,
+         sh_o, sh_d, contrib, uu, vv, nb, pix) = state
+        lrad_full = lrad_full.at[pix].add(lrad, mode="drop")
+        # Live lanes are already sorted to the front (dead keys sort last),
+        # but only since the last in-body sort; nonzero-compact exactly.
+        busy = sample < nf
+        idx = jnp.nonzero(busy, size=size, fill_value=0)[0].astype(jnp.int32)
+        valid = jnp.arange(size, dtype=jnp.int32) < jnp.sum(busy.astype(jnp.int32))
+        take = lambda a: a[idx]  # noqa: E731
+        state = (
+            jnp.where(valid, take(sample), nf),
+            take(bounce), take(flag), take(origin), take(direction),
+            take(thr), take(srad), jnp.zeros((size, 3), jnp.float32),
+            take(sh_o), take(sh_d), take(contrib),
+            take(uu), take(vv), take(nb),
+            jnp.where(valid, take(pix), jnp.int32(batch)),  # out of range -> drop
+        )
+        body = make_body()
+
+    def any_left(st):
+        return jnp.any(st[0] < nf)
+
+    state = jax.lax.while_loop(any_left, body, state)
+    return lrad_full.at[state[14]].add(state[7], mode="drop")
 
 
 @partial(

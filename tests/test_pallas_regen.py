@@ -167,3 +167,29 @@ def test_fused_regen_multi_super_scene():
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(wave), rtol=2e-4, atol=1e-5
     )
+
+
+def test_fused_regen_sorted(duck_device_scene, monkeypatch):
+    """Forced per-iteration lane sorting (_accumulate_regen_fused_sorted):
+    the packed-gather permutation, migrating pixel map, and phase-end
+    scatter-adds must reproduce the wavefront regen result. Unique (w, h)
+    so the trace re-reads RAYFINDER_REGEN_SORT."""
+    monkeypatch.setenv("RAYFINDER_REGEN_SORT", "1")
+    w, h, spp, nb = 56, 40, 4, 3
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, w / h)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=nb, spp=spp, num_frames=spp)
+
+    wave = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="wavefront", **kw,
+    )
+    fused = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="pallas",
+        compact_floor=128, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(wave), rtol=2e-4, atol=1e-5
+    )
