@@ -959,6 +959,22 @@ def _accumulate_regen_fused_sorted(
     return lrad_full.at[state[14]].add(state[7], mode="drop")
 
 
+def pick_accumulator(scene: DeviceScene, engine: str):
+    """Progressive-accumulator selection shared by render_image and Renderer:
+    the persistent-wavefront regen loop whenever it's safe and profitable —
+    always for small (tile-coherent) scenes, and for big scenes on the pallas
+    engine, where the fused loop re-sorts lanes per iteration
+    (_accumulate_regen_fused_sorted; measured +37% on courtyard over the
+    sorted scan form). Big scenes on the unfused engines keep the scan form,
+    whose per-bounce coherence sort needs the lane==pixel-free formulation."""
+    big_scene = scene.cluster_tris.shape[0] > SORT_THRESHOLD
+    if not big_scene:
+        return accumulate_samples_regen
+    if engine == "pallas" and _regen_sort_enabled(scene):
+        return accumulate_samples_regen
+    return accumulate_samples
+
+
 @partial(
     jax.jit,
     static_argnames=("win_w", "win_h", "width", "height", "num_bounces", "spp", "num_frames", "engine"),
@@ -1083,11 +1099,8 @@ def render_image(
     tile = jnp.asarray(blue_noise_tile())
     accum = jnp.zeros((height * width, 3), jnp.float32)
     spp = sampling.num_samples_per_pixel
-    # Path regeneration keeps lanes occupied on scenes whose bounce rays stay
-    # tile-coherent without the re-sort; sorted scenes keep the scan form
-    # (the sort permutes lanes, which regen's lane==pixel invariant forbids).
     big_scene = scene.cluster_tris.shape[0] > SORT_THRESHOLD
-    accumulate = accumulate_samples if big_scene else accumulate_samples_regen
+    accumulate = pick_accumulator(scene, engine)
     if big_scene:
         # Cap device time per dispatch: a single multi-minute program can
         # crash the TPU worker (observed on a 254K-tri 1080p 32-sample

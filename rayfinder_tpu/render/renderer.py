@@ -24,8 +24,7 @@ import jax.numpy as jnp
 
 from ..sky.model import SkyState, sky_state_from_ui
 from .camera import Camera
-from .pathtracer import (SORT_THRESHOLD, SamplingParams, accumulate_samples,
-                         accumulate_samples_regen)
+from .pathtracer import SamplingParams, pick_accumulator
 from .scene import DeviceScene
 from .tonemap import tonemap
 
@@ -110,12 +109,9 @@ class Renderer:
         remaining = p.sampling.num_samples_per_pixel - self.accumulated_sample_count
         to_add = max(0, min(num_frames, remaining))
         if to_add > 0:
-            # Same accumulator selection as render_image: the persistent-
-            # wavefront regen path for tile-coherent (small) scenes, the
-            # sorted scan form for big ones. Physics and noise stream are
-            # identical either way.
-            big_scene = self.scene.cluster_tris.shape[0] > SORT_THRESHOLD
-            accumulate = accumulate_samples if big_scene else accumulate_samples_regen
+            # Same accumulator selection as render_image. Physics and noise
+            # stream are identical either way.
+            accumulate = pick_accumulator(self.scene, self.engine)
             self._accum = accumulate(
                 self.scene,
                 self._sky_state,
