@@ -26,11 +26,12 @@ if mode == "nonee":
     def no_nee_trace(scene, camera, sky, u, v_tex, noise_base, inv_dims,
                      frame_base, spp_dyn, num_frames_dyn, t_max,
                      sample, bounce, flag, origin, direction, thr, srad, lrad,
-                     shadow_o, shadow_d, contrib):
+                     shadow_o, shadow_d, contrib, tile_override=None):
         return real_trace(scene, camera, sky, u, v_tex, noise_base, inv_dims,
                           frame_base, spp_dyn, num_frames_dyn, t_max,
                           sample, bounce, flag, origin, direction, thr, srad,
-                          lrad, shadow_o, shadow_d, jnp.zeros_like(contrib))
+                          lrad, shadow_o, shadow_d, jnp.zeros_like(contrib),
+                          tile_override=tile_override)
 
     pr.pallas_trace_regen = no_nee_trace
 

@@ -205,6 +205,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
                 (sox, soy, soz, sdx, sdy, sdz, six, siy, siz), shadow_bound,
                 start_ref, super_min_ref, super_max_ref, cl_planes_ref,
                 table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                num_supers=num_supers,
             )
             vis = jnp.where(occ == 0, jnp.float32(1.0), jnp.float32(0.0))
             s0 = jnp.where(has_nee, s0 + c0 * vis, s0)
@@ -258,6 +259,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
                     (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
                     start_ref, super_min_ref, super_max_ref, cl_planes_ref,
                     table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                    num_supers=num_supers,
                 )
                 hit = inflight & (btri >= 0)
                 tfin = jnp.where(hit, bt, tfin)

@@ -249,6 +249,7 @@ def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
 def _closest_tile_sweep(
     rays, bound0, start_ref, super_min_ref, super_max_ref, cl_planes_ref,
     table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+    num_supers: int = 0,
 ):
     """Two-level front-to-back closest sweep for ONE ray tile.
 
@@ -257,13 +258,43 @@ def _closest_tile_sweep(
     entirely (it selects nothing and accepts nothing).
     Returns (bt, btri): best hit distance (== bound0 where no hit) and
     leaf-order triangle index (-1 where no hit). Shared by the plain closest
-    kernel and the persistent path kernel (pallas_regen.py)."""
+    kernel and the persistent path kernel (pallas_regen.py).
+
+    num_supers == 1 (static) takes the SINGLE-SUPER fast path: the super
+    selection level is pure overhead there (one-row entry table, a
+    scalar/vector sync to select it, another to exit the loop, per sweep),
+    so the sweep collapses to one cluster sweep over the always-cached
+    super 0 — measured 2-4us/sweep of sync on small scenes (Duck-class,
+    <= 512 clusters at SUPER=64)."""
     ox, oy, oz, dx, dy, dz, ix, iy, iz = rays
+    btri0 = jnp.full((bound0.shape[0],), -1, jnp.int32)
+
+    if num_supers == 1:
+        _fetch_super(table_hbm, tbuf, sem, cache_tag, jnp.int32(0))
+        cl_entry[:, :] = _slab_entry_rows(
+            cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+            ox, oy, oz, ix, iy, iz, bound0,
+        )
+
+        def test_one0(j, carry):
+            bt, btri = carry
+            need = cl_entry[j, :] < bt
+            t_cand, slot = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, bt)
+            better = need & (t_cand < bt)
+            tri = start_ref[j] + slot
+            bt = jnp.where(better, t_cand, bt)
+            btri = jnp.where(better, tri, btri)
+            return (bt, btri), bt
+
+        (bt, btri), _ = _cluster_sweep(
+            tbuf, cl_entry, test_one0, bound0, (bound0, btri0)
+        )
+        return bt, btri
+
     super_entry[:, :] = _slab_entry_rows(
         super_min_ref[:, :], super_max_ref[:, :],
         ox, oy, oz, ix, iy, iz, bound0,
     )
-    btri0 = jnp.full((bound0.shape[0],), -1, jnp.int32)
 
     s0, k0 = _next_row(super_entry[:, :], bound0)
 
@@ -327,6 +358,7 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int):
                 (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
                 start_ref, super_min_ref, super_max_ref, cl_planes_ref,
                 table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                num_supers=num_supers,
             )
             t_out_ref[rt, 0, :] = bt
             tri_out_ref[rt, 0, :] = btri
@@ -340,6 +372,7 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int):
 def _any_tile_sweep(
     rays, tmax, start_ref, super_min_ref, super_max_ref, cl_planes_ref,
     table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+    num_supers: int = 0,
 ):
     """Early-exit occlusion sweep for ONE ray tile: keep testing the nearest
     super / cluster any unoccluded lane still overlaps; once every lane is
@@ -348,12 +381,9 @@ def _any_tile_sweep(
     rays as in _closest_tile_sweep; tmax: per-lane bound (-inf parks a lane
     as pre-occluded-irrelevant). Returns occ (TILE,) int32 (Mosaic cannot
     legalize i1-vector carries). Shared by the any-hit kernel and the
-    persistent path kernel's NEE prologue (pallas_regen.py)."""
+    persistent path kernel's NEE prologue (pallas_regen.py).
+    num_supers == 1: single-super fast path as in _closest_tile_sweep."""
     ox, oy, oz, dx, dy, dz, ix, iy, iz = rays
-    super_entry[:, :] = _slab_entry_rows(
-        super_min_ref[:, :], super_max_ref[:, :],
-        ox, oy, oz, ix, iy, iz, tmax,
-    )
 
     def pending_bound(occ):
         # Unoccluded lanes keep their tmax bound; occluded lanes drop
@@ -361,6 +391,30 @@ def _any_tile_sweep(
         return jnp.where(occ == 0, tmax, -jnp.inf)
 
     occ0 = jnp.zeros((tmax.shape[0],), jnp.int32)
+
+    if num_supers == 1:
+        _fetch_super(table_hbm, tbuf, sem, cache_tag, jnp.int32(0))
+        cl_entry[:, :] = _slab_entry_rows(
+            cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+            ox, oy, oz, ix, iy, iz, tmax,
+        )
+
+        def test_one0(j, occ):
+            need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
+            t_cand, _ = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, tmax)
+            occ = jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
+            return occ, pending_bound(occ)
+
+        occ, _ = _cluster_sweep(
+            tbuf, cl_entry, test_one0, pending_bound(occ0), occ0
+        )
+        return occ
+
+    super_entry[:, :] = _slab_entry_rows(
+        super_min_ref[:, :], super_max_ref[:, :],
+        ox, oy, oz, ix, iy, iz, tmax,
+    )
+
     s0, k0 = _next_row(super_entry[:, :], pending_bound(occ0))
 
     def s_cond(state):
@@ -412,6 +466,7 @@ def _make_any_kernel(leaf: int, num_supers: int, rt_count: int):
                 (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
                 start_ref, super_min_ref, super_max_ref, cl_planes_ref,
                 table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                num_supers=num_supers,
             )
             occ_out_ref[rt, 0, :] = occ
             return 0
