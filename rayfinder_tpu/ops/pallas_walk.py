@@ -171,6 +171,321 @@ def _next_row(entry, bt):
     return j, jnp.min(key)
 
 
+# ---------------------------------------------------------------------------
+# GROUPED (sub-tile) cluster sweeps — big-scene traversal.
+#
+# Enclosed scenes are MT-bound through block-uniform divergence: a 128-lane
+# tile of bounce rays sweeps the UNION of clusters its lanes need (measured
+# 52 on the courtyard where each ray needs 2.1; even oracle ordering leaves
+# ~30). The grouped sweep selects one cluster per 8-LANE RAY GROUP each
+# iteration instead of one per tile, cutting the lockstep iteration count to
+# the max over 16 groups (measured 13.6 on the courtyard) at the SAME
+# per-iteration cost (probe: 5.39us vs 5.30us per tile-iteration):
+#
+#  * per-group front-to-back selection runs entirely vectorized — per-lane
+#    argmin over the (clusters, TILE) entry table, then a segmented (8-lane)
+#    argmin via masked lane rolls; ONE scalar sync per iteration, as before;
+#  * each group's cluster rows are fetched with an MXU MATMUL-GATHER:
+#    onehot(selected row)(S, TILE) contracted against a TRANSPOSED table
+#    (9, L, S) gives per-lane triangle data (L, TILE) — no scalar extraction,
+#    no dynamic indexing on the hot loads;
+#  * the Möller-Trumbore block runs with TRIS ON SUBLANES, rays staying on
+#    lanes: (L, TILE) ops, the same VPU volume as the flat (TILE, L) block.
+#
+# A group whose lanes are all bounded selects row 0 spuriously; testing it is
+# harmless (any true intersection below the bound is a valid accept; slab
+# pruning is only an optimization) and its lanes' erases touch only rows it
+# no longer needs. Cluster starts ride as an f32 row matmul-gathered like the
+# vertices (exact for leaf-order indices < 2^24).
+# ---------------------------------------------------------------------------
+
+# Clusters per super in the grouped layout: 128 keeps the transposed table's
+# minor dims (L, SUPER_G) an aligned (128, 128) tile for the DMA and makes
+# the matmul-gather a full (L, S) x (S, TILE) MXU op.
+SUPER_G = int(os.environ.get("RAYFINDER_SUPER_G", "128"))
+_SUB = 8  # rays per selection group (the sublane width)
+
+
+def _grouped_mode(num_clusters: int) -> bool:
+    mode = os.environ.get("RAYFINDER_GROUPED", "auto")
+    if mode == "auto":
+        # Off by default until the TPU A/B proves a win (flip to
+        # `num_clusters > _BIG_CLUSTERS` then).
+        return False
+    return mode == "1"
+
+
+def _seg_select(masked):
+    """Per-8-lane-group front-to-back selection over a (rows, TILE) masked
+    entry table (+inf = not needed). Returns (jb, key): (1, TILE) int32 —
+    each lane's selected row, uniform within its group (row 0 where the
+    group has nothing) — and the global scalar min (early-exit when inf).
+    """
+    tile = masked.shape[1]
+    m = jnp.min(masked, axis=0, keepdims=True)  # (1, TILE)
+    a = jnp.argmin(masked, axis=0).astype(jnp.int32)[None, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    seg = lane % _SUB
+    # Suffix fold: lane 8g ends holding its group's (min, argmin).
+    for k in (1, 2, 4):
+        m2 = pltpu.roll(m, tile - k, 1)
+        a2 = pltpu.roll(a, tile - k, 1)
+        ok = (seg + k < _SUB) & (m2 < m)
+        m = jnp.where(ok, m2, m)
+        a = jnp.where(ok, a2, a)
+    # Prefix broadcast: spread lane 8g's row id across its group.
+    jb = jnp.where(seg == 0, a, jnp.int32(2**30))
+    for k in (1, 2, 4):
+        jb = jnp.where(seg >= k, jnp.minimum(jb, pltpu.roll(jb, k, 1)), jb)
+    jb = jnp.where(jb == jnp.int32(2**30), 0, jb)
+    return jb, jnp.min(m)
+
+
+def _gather_rows_T(tbufT, onehot, rows):
+    """Matmul-gather: tbufT (R, L, S) x onehot (S, TILE) -> per-lane rows
+    [(L, TILE)] for the requested R indices."""
+    return [
+        jax.lax.dot_general(
+            tbufT[r], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for r in rows
+    ]
+
+
+def _mt_block_T(v, ox, oy, oz, dx, dy, dz, t_bound):
+    """Möller-Trumbore with tris on SUBLANES: v = 9 (L, TILE) vertex-row
+    matrices (per-lane cluster data), rays broadcast over sublanes. Returns
+    (t_best, slot): per-LANE min-t over the L tris (inf when none) and its
+    sublane index."""
+    v0x, v0y, v0z = v[0], v[1], v[2]
+    e1x = v[3] - v0x
+    e1y = v[4] - v0y
+    e1z = v[5] - v0z
+    e2x = v[6] - v0x
+    e2y = v[7] - v0y
+    e2z = v[8] - v0z
+
+    dxc, dyc, dzc = dx[None, :], dy[None, :], dz[None, :]
+    hx = dyc * e2z - dzc * e2y
+    hy = dzc * e2x - dxc * e2z
+    hz = dxc * e2y - dyc * e2x
+    det = e1x * hx + e1y * hy + e1z * hz
+    inv_det = jnp.float32(1.0) / det
+
+    sx = ox[None, :] - v0x
+    sy = oy[None, :] - v0y
+    sz = oz[None, :] - v0z
+    u = inv_det * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    vv = inv_det * (dxc * qx + dyc * qy + dzc * qz)
+    t = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+
+    ok = (
+        (jnp.abs(det) >= EPSILON)
+        & (u >= 0.0) & (u <= 1.0)
+        & (vv >= 0.0) & (u + vv <= 1.0)
+        & (t > EPSILON) & (t < t_bound[None, :])
+    )
+    t_masked = jnp.where(ok, t, jnp.inf)
+    slot = jnp.argmin(t_masked, axis=0)
+    t_best = jnp.min(t_masked, axis=0)
+    return t_best, slot.astype(jnp.int32)
+
+
+def _closest_tile_sweep_grouped(
+    rays, bound0, super_min_ref, super_max_ref, cl_planes_ref, startf_ref,
+    tableT_hbm, super_entry, cl_entry, tbufT, cache_tag, sem,
+    num_supers: int,
+):
+    """Grouped closest sweep: tile-uniform front-to-back over supers (as in
+    _closest_tile_sweep), per-8-lane-group front-to-back over each super's
+    clusters. startf_ref: (S, 8, SUPER_G) f32, row 0 = global leaf-order
+    cluster starts."""
+    ox, oy, oz, dx, dy, dz, ix, iy, iz = rays
+    tile = bound0.shape[0]
+    btri0 = jnp.full((tile,), -1, jnp.int32)
+
+    def cluster_phase(s, bt, btri):
+        cl_entry[:, :] = _slab_entry_rows(
+            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+            ox, oy, oz, ix, iy, iz, bt,
+        )
+        row_io = jax.lax.broadcasted_iota(jnp.int32, (SUPER_G, tile), 0)
+        starts_row = startf_ref[s, 0:1, :]  # (1, SUPER_G)
+
+        masked = jnp.where(cl_entry[:, :] < bt[None, :], cl_entry[:, :], jnp.inf)
+        jb0, key0 = _seg_select(masked)
+
+        def g_cond(st):
+            return jnp.isfinite(st[3])
+
+        def g_body(st):
+            bt, btri, jb, _ = st
+            onehot = (row_io == jb).astype(jnp.float32)
+            v = _gather_rows_T(tbufT, onehot, range(9))
+            t_cand, slot = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bt)
+            start_lane = jax.lax.dot_general(
+                starts_row, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]  # (TILE,)
+            better = t_cand < bt
+            tri = start_lane.astype(jnp.int32) + slot
+            bt = jnp.where(better, t_cand, bt)
+            btri = jnp.where(better, tri, btri)
+            cl_entry[:, :] = jnp.where(row_io == jb, jnp.inf, cl_entry[:, :])
+            masked = jnp.where(
+                cl_entry[:, :] < bt[None, :], cl_entry[:, :], jnp.inf
+            )
+            jb_n, key_n = _seg_select(masked)
+            return bt, btri, jb_n, key_n
+
+        bt, btri, _, _ = jax.lax.while_loop(
+            g_cond, g_body, (bt, btri, jb0, key0)
+        )
+        return bt, btri
+
+    if num_supers == 1:
+        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, jnp.int32(0))
+        return cluster_phase(0, bound0, btri0)
+
+    super_entry[:, :] = _slab_entry_rows(
+        super_min_ref[:, :], super_max_ref[:, :],
+        ox, oy, oz, ix, iy, iz, bound0,
+    )
+    s0, k0 = _next_row(super_entry[:, :], bound0)
+
+    def s_cond(state):
+        return jnp.isfinite(state[3])
+
+    def s_body(state):
+        bt, btri, s, _ = state
+        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, s)
+        bt, btri = cluster_phase(s, bt, btri)
+        super_entry[s, :] = jnp.full((tile,), jnp.inf, jnp.float32)
+        s_next, key = _next_row(super_entry[:, :], bt)
+        return bt, btri, s_next, key
+
+    bt, btri, _, _ = jax.lax.while_loop(
+        s_cond, s_body, (bound0, btri0, s0, k0)
+    )
+    return bt, btri
+
+
+def _any_tile_sweep_grouped(
+    rays, tmax, super_min_ref, super_max_ref, cl_planes_ref,
+    tableT_hbm, super_entry, cl_entry, tbufT, cache_tag, sem,
+    num_supers: int,
+):
+    """Grouped occlusion sweep (no slot/start bookkeeping; lanes drop to a
+    -inf bound the moment they occlude)."""
+    ox, oy, oz, dx, dy, dz, ix, iy, iz = rays
+    tile = tmax.shape[0]
+
+    def pending_bound(occ):
+        return jnp.where(occ == 0, tmax, -jnp.inf)
+
+    occ0 = jnp.zeros((tile,), jnp.int32)
+
+    def cluster_phase(s, occ):
+        cl_entry[:, :] = _slab_entry_rows(
+            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+            ox, oy, oz, ix, iy, iz, pending_bound(occ),
+        )
+        row_io = jax.lax.broadcasted_iota(jnp.int32, (SUPER_G, tile), 0)
+        masked = jnp.where(
+            cl_entry[:, :] < pending_bound(occ)[None, :], cl_entry[:, :], jnp.inf
+        )
+        jb0, key0 = _seg_select(masked)
+
+        def g_cond(st):
+            return jnp.isfinite(st[2])
+
+        def g_body(st):
+            occ, jb, _ = st
+            onehot = (row_io == jb).astype(jnp.float32)
+            v = _gather_rows_T(tbufT, onehot, range(9))
+            t_cand, _ = _mt_block_T(
+                v, ox, oy, oz, dx, dy, dz, pending_bound(occ)
+            )
+            occ = jnp.where(jnp.isfinite(t_cand), jnp.int32(1), occ)
+            cl_entry[:, :] = jnp.where(row_io == jb, jnp.inf, cl_entry[:, :])
+            masked = jnp.where(
+                cl_entry[:, :] < pending_bound(occ)[None, :],
+                cl_entry[:, :], jnp.inf,
+            )
+            jb_n, key_n = _seg_select(masked)
+            return occ, jb_n, key_n
+
+        occ, _, _ = jax.lax.while_loop(g_cond, g_body, (occ, jb0, key0))
+        return occ
+
+    if num_supers == 1:
+        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, jnp.int32(0))
+        return cluster_phase(0, occ0)
+
+    super_entry[:, :] = _slab_entry_rows(
+        super_min_ref[:, :], super_max_ref[:, :],
+        ox, oy, oz, ix, iy, iz, tmax,
+    )
+    s0, k0 = _next_row(super_entry[:, :], pending_bound(occ0))
+
+    def s_cond(state):
+        return jnp.isfinite(state[2])
+
+    def s_body(state):
+        occ, s, _ = state
+        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, s)
+        occ = cluster_phase(s, occ)
+        super_entry[s, :] = jnp.full((tile,), jnp.inf, jnp.float32)
+        s_next, key = _next_row(super_entry[:, :], pending_bound(occ))
+        return occ, s_next, key
+
+    occ, _, _ = jax.lax.while_loop(s_cond, s_body, (occ0, s0, k0))
+    return occ
+
+
+def _scene_tables_grouped(scene):
+    """Grouped-layout scene tables: transposed triangle table
+    (S, 9, L, SUPER_G) — a super's DMA slice has aligned (L, SUPER_G) minor
+    tiles and feeds the matmul-gather directly — plus an f32 cluster-start
+    row padded to (S, 8, SUPER_G), super planes (3, S), and cluster planes
+    (S, 2, 3, SUPER_G)."""
+    num_clusters, leaf = scene.cluster_tris.shape[:2]
+    num_supers = -(-num_clusters // SUPER_G)
+    pad = num_supers * SUPER_G - num_clusters
+
+    table = scene.cluster_tris.reshape(num_clusters, leaf, 9).transpose(0, 2, 1)
+    cl_min = scene.cluster_min
+    cl_max = scene.cluster_max
+    starts = scene.cluster_start
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad, 9, leaf), jnp.float32)], axis=0
+        )
+        cl_min = jnp.concatenate([cl_min, jnp.full((pad, 3), _FAR)], axis=0)
+        cl_max = jnp.concatenate([cl_max, jnp.full((pad, 3), _FAR)], axis=0)
+        starts = jnp.concatenate([starts, jnp.zeros((pad,), jnp.int32)])
+
+    # (S, SUPER_G, 9, L) -> (S, 9, L, SUPER_G): vertex rows lead, cluster id
+    # rides the lane dim for the onehot contraction.
+    tableT = table.reshape(num_supers, SUPER_G, 9, leaf).transpose(0, 2, 3, 1)
+    groups_min = cl_min.reshape(num_supers, SUPER_G, 3)
+    groups_max = cl_max.reshape(num_supers, SUPER_G, 3)
+    super_min = jnp.min(groups_min, axis=1).T
+    super_max = jnp.max(groups_max, axis=1).T
+    cl_planes = jnp.stack(
+        [groups_min.transpose(0, 2, 1), groups_max.transpose(0, 2, 1)], axis=1
+    )
+    startf = jnp.zeros((num_supers, 8, SUPER_G), jnp.float32)
+    startf = startf.at[:, 0, :].set(
+        starts.reshape(num_supers, SUPER_G).astype(jnp.float32)
+    )
+    return tableT, startf, super_min, super_max, cl_planes
+
+
 # Clusters tested per sweep while-iteration: each iteration pays one
 # scalar/vector sync (loop condition + selection argmins), which costs as
 # much as a Möller-Trumbore block — wider K amortizes it at the price of up
@@ -335,7 +650,8 @@ def _closest_tile_sweep(
     return bt, btri
 
 
-def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int):
+def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int,
+                         grouped: bool = False):
     def kernel(
         o_ref, d_ref, tmax_ref, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
@@ -354,12 +670,20 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int):
             (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
                 o_ref, d_ref, tmax_ref, rt
             )
-            bt, btri = _closest_tile_sweep(
-                (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
-                start_ref, super_min_ref, super_max_ref, cl_planes_ref,
-                table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                num_supers=num_supers,
-            )
+            if grouped:
+                bt, btri = _closest_tile_sweep_grouped(
+                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
+                    super_min_ref, super_max_ref, cl_planes_ref, start_ref,
+                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                    num_supers,
+                )
+            else:
+                bt, btri = _closest_tile_sweep(
+                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
+                    start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                    num_supers=num_supers,
+                )
             t_out_ref[rt, 0, :] = bt
             tri_out_ref[rt, 0, :] = btri
             return 0
@@ -445,7 +769,8 @@ def _any_tile_sweep(
     return occ
 
 
-def _make_any_kernel(leaf: int, num_supers: int, rt_count: int):
+def _make_any_kernel(leaf: int, num_supers: int, rt_count: int,
+                     grouped: bool = False):
     def kernel(
         o_ref, d_ref, tmax_ref, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
@@ -462,12 +787,20 @@ def _make_any_kernel(leaf: int, num_supers: int, rt_count: int):
             (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
                 o_ref, d_ref, tmax_ref, rt
             )
-            occ = _any_tile_sweep(
-                (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
-                start_ref, super_min_ref, super_max_ref, cl_planes_ref,
-                table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                num_supers=num_supers,
-            )
+            if grouped:
+                occ = _any_tile_sweep_grouped(
+                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
+                    super_min_ref, super_max_ref, cl_planes_ref,
+                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                    num_supers,
+                )
+            else:
+                occ = _any_tile_sweep(
+                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
+                    start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                    num_supers=num_supers,
+                )
             occ_out_ref[rt, 0, :] = occ
             return 0
 
@@ -531,6 +864,41 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _full_spec(shape):
+    zeros = tuple(0 for _ in shape)
+    return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
+
+
+def _walk_tables_and_specs(scene):
+    """Scene tables + the pallas specs/scratch that depend on the traversal
+    layout (flat vs grouped). Returns (grouped, tables, start_spec,
+    scratch_shapes_fn) where tables = (table, starts, super_min, super_max,
+    cl_planes) and scratch_shapes_fn(num_supers, tile) builds the scratch
+    list (super entry, cluster entry, triangle buffer, cache tag, DMA sem)."""
+    leaf = scene.cluster_tris.shape[1]
+    grouped = _grouped_mode(scene.cluster_tris.shape[0])
+    if grouped:
+        table, starts, super_min, super_max, cl_planes = _scene_tables_grouped(scene)
+        start_spec = _full_spec(starts.shape)  # (S, 8, SUPER_G) f32 in VMEM
+        cl_rows, tbuf_shape = SUPER_G, (9, leaf, SUPER_G)
+    else:
+        table, starts, super_min, super_max, cl_planes = _scene_tables(scene)
+        # Per-cluster start offsets: scalars, read one at a time.
+        start_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        cl_rows, tbuf_shape = SUPER, (9, SUPER, leaf)
+
+    def scratch(num_supers, tile):
+        return [
+            pltpu.VMEM((num_supers, tile), jnp.float32),
+            pltpu.VMEM((cl_rows, tile), jnp.float32),
+            pltpu.VMEM(tbuf_shape, jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+
+    return grouped, (table, starts, super_min, super_max, cl_planes), start_spec, scratch
+
+
 def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
     leaf = scene.cluster_tris.shape[1]
     num_rays = origin.shape[0]
@@ -538,25 +906,21 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
 
     tile, rt = _pick_tile(scene.cluster_tris.shape[0])
     o, d, tm, tiles, n = _prep_rays(origin, direction, t_max, tile, rt)
-    table, starts, super_min, super_max, cl_planes = _scene_tables(scene)
+    grouped, tables, start_spec, scratch = _walk_tables_and_specs(scene)
+    table, starts, super_min, super_max, cl_planes = tables
     num_supers = table.shape[0]
 
-    def full(shape):
-        zeros = tuple(0 for _ in shape)
-        return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
-
     outs = pl.pallas_call(
-        kernel_factory(leaf, num_supers, rt),
+        kernel_factory(leaf, num_supers, rt, grouped=grouped),
         grid=(tiles // rt,),
         in_specs=[
             pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            # Per-cluster start offsets: scalars, read one at a time.
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            full(super_min.shape),
-            full(super_max.shape),
-            full(cl_planes.shape),
+            start_spec,
+            _full_spec(super_min.shape),
+            _full_spec(super_max.shape),
+            _full_spec(cl_planes.shape),
             # The triangle table stays in HBM; supers are DMA'd on demand.
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -565,13 +929,7 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
             for _ in out_dtypes
         ],
         out_shape=[jax.ShapeDtypeStruct((tiles, 1, tile), dt) for dt in out_dtypes],
-        scratch_shapes=[
-            pltpu.VMEM((num_supers, tile), jnp.float32),
-            pltpu.VMEM((SUPER, tile), jnp.float32),
-            pltpu.VMEM((9, SUPER, leaf), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch(num_supers, tile),
         interpret=_interpret(),
     )(o, d, tm, starts, super_min, super_max, cl_planes, table)
     return outs, n, t_max

@@ -81,3 +81,49 @@ def test_pallas_multi_super_scene():
     po = pallas_intersect_any(scene, jnp.asarray(o), jnp.asarray(d), t_max)
     wo, _ = intersect_any_wavefront(scene, jnp.asarray(o), jnp.asarray(d), t_max)
     np.testing.assert_array_equal(np.asarray(po), np.asarray(wo))
+
+
+def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
+    """The grouped (per-8-lane-group selection, matmul-gather) sweeps must
+    return exactly the flat sweeps' results — same MT numerics, only the
+    cluster visit order differs. Covers the single-super fast path (Duck)
+    and the multi-super outer loop (courtyard slice) for both kernels."""
+    import jax.numpy as jnp
+    from rayfinder_tpu.ops import pallas_walk as pw
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+
+    flat, textures = courtyard_scene(8)
+    multi = build_device_scene(flat, textures=textures)
+    assert multi.cluster_tris.shape[0] > pw.SUPER_G  # spans >1 grouped super
+
+    o, d = rays
+    rng = np.random.default_rng(11)
+    oc = rng.uniform([-18, 1, -8], [18, 10, 8], size=(128, 3)).astype(np.float32)
+    dc = rng.normal(size=(128, 3)).astype(np.float32)
+    dc /= np.linalg.norm(dc, axis=-1, keepdims=True)
+    t_max = jnp.float32(1e4)
+
+    def run(scene, o, d, mode):
+        monkeypatch.setenv("RAYFINDER_GROUPED", mode)
+        (t_out, tri_out), n, _ = pw._common_call(
+            scene, o, d, t_max, pw._make_closest_kernel, (jnp.float32, jnp.int32)
+        )
+        (occ,), _, _ = pw._common_call(
+            scene, o, d, t_max, pw._make_any_kernel, (jnp.int32,)
+        )
+        return (
+            np.asarray(t_out).reshape(-1)[:n],
+            np.asarray(tri_out).reshape(-1)[:n],
+            np.asarray(occ).reshape(-1)[:n],
+        )
+
+    for scene, so, sd in [
+        (duck_device_scene, o, d),
+        (multi, jnp.asarray(oc), jnp.asarray(dc)),
+    ]:
+        tf, trif, occf = run(scene, so, sd, "0")
+        tg, trig, occg = run(scene, so, sd, "1")
+        np.testing.assert_array_equal(occf, occg)
+        np.testing.assert_array_equal(trif, trig)
+        np.testing.assert_allclose(tf, tg, rtol=0, atol=0)
