@@ -35,12 +35,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_walk import (
-    SUPER,
     _any_tile_sweep,
+    _any_tile_sweep_grouped,
     _closest_tile_sweep,
+    _closest_tile_sweep_grouped,
     _interpret,
     _pick_tile,
-    _scene_tables,
+    _walk_tables_and_specs,
 )
 
 _TWO_PI = np.float32(2.0 * np.pi)
@@ -148,7 +149,8 @@ def _noise_rows(sample, nb0, nb1, i):
     return nx, ny
 
 
-def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
+def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
+                      grouped: bool = False):
     def kernel(
         counters_ref, ray_ref, shade_ref, pix_ref, nee_ref,
         fscal, iscal, start_ref, super_min_ref, super_max_ref,
@@ -201,12 +203,20 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
             six = jnp.float32(1.0) / sdx
             siy = jnp.float32(1.0) / sdy
             siz = jnp.float32(1.0) / sdz
-            occ = _any_tile_sweep(
-                (sox, soy, soz, sdx, sdy, sdz, six, siy, siz), shadow_bound,
-                start_ref, super_min_ref, super_max_ref, cl_planes_ref,
-                table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                num_supers=num_supers,
-            )
+            if grouped:
+                occ = _any_tile_sweep_grouped(
+                    (sox, soy, soz, sdx, sdy, sdz, six, siy, siz), shadow_bound,
+                    super_min_ref, super_max_ref, cl_planes_ref,
+                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                    num_supers,
+                )
+            else:
+                occ = _any_tile_sweep(
+                    (sox, soy, soz, sdx, sdy, sdz, six, siy, siz), shadow_bound,
+                    start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                    num_supers=num_supers,
+                )
             vis = jnp.where(occ == 0, jnp.float32(1.0), jnp.float32(0.0))
             s0 = jnp.where(has_nee, s0 + c0 * vis, s0)
             s1 = jnp.where(has_nee, s1 + c1 * vis, s1)
@@ -255,12 +265,20 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int):
                 ix = jnp.float32(1.0) / dx
                 iy = jnp.float32(1.0) / dy
                 iz = jnp.float32(1.0) / dz
-                bt, btri = _closest_tile_sweep(
-                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
-                    start_ref, super_min_ref, super_max_ref, cl_planes_ref,
-                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                    num_supers=num_supers,
-                )
+                if grouped:
+                    bt, btri = _closest_tile_sweep_grouped(
+                        (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
+                        super_min_ref, super_max_ref, cl_planes_ref, start_ref,
+                        table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                        num_supers,
+                    )
+                else:
+                    bt, btri = _closest_tile_sweep(
+                        (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
+                        start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                        table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                        num_supers=num_supers,
+                    )
                 hit = inflight & (btri >= 0)
                 tfin = jnp.where(hit, bt, tfin)
                 trifin = jnp.where(hit, btri, trifin)
@@ -451,7 +469,8 @@ def pallas_trace_regen(
         jnp.asarray(num_frames_dyn, jnp.int32),
     ])
 
-    table, starts, super_min, super_max, cl_planes = _scene_tables(scene)
+    grouped, tables, start_spec, scratch = _walk_tables_and_specs(scene)
+    table, starts, super_min, super_max, cl_planes = tables
     num_supers = table.shape[0]
     leaf = scene.cluster_tris.shape[1]
 
@@ -460,7 +479,7 @@ def pallas_trace_regen(
         return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
-        _make_path_kernel(leaf, num_supers, rt),
+        _make_path_kernel(leaf, num_supers, rt, grouped=grouped),
         grid=(tiles // rt,),
         in_specs=[
             pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -470,7 +489,7 @@ def pallas_trace_regen(
             pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
             pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster starts
+            start_spec,  # cluster starts (SMEM scalars / grouped VMEM f32 row)
             full(super_min.shape),
             full(super_max.shape),
             full(cl_planes.shape),
@@ -490,13 +509,7 @@ def pallas_trace_regen(
             jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
             jax.ShapeDtypeStruct((tiles, 1, tile), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((num_supers, tile), jnp.float32),
-            pltpu.VMEM((SUPER, tile), jnp.float32),
-            pltpu.VMEM((9, SUPER, leaf), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch(num_supers, tile),
         interpret=_interpret(),
     )(counters, rays, shade, pix, nee, fscal, iscal, starts, super_min,
       super_max, cl_planes, table)

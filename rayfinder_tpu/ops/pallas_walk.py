@@ -209,9 +209,10 @@ _SUB = 8  # rays per selection group (the sublane width)
 def _grouped_mode(num_clusters: int) -> bool:
     mode = os.environ.get("RAYFINDER_GROUPED", "auto")
     if mode == "auto":
-        # Off by default until the TPU A/B proves a win (flip to
-        # `num_clusters > _BIG_CLUSTERS` then).
-        return False
+        # TPU A/B (v5e, 2026-08-17): courtyard 2.02 vs 1.84 Mrays/s (+10%)
+        # with the sorted regen accumulator; small scenes keep the flat
+        # sweeps (single-super fast path already sync-lean there).
+        return num_clusters > _BIG_CLUSTERS
     return mode == "1"
 
 
