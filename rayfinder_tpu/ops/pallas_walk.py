@@ -203,13 +203,20 @@ def _next_row(entry, bt):
 # minor dims (L, SUPER_G) an aligned (128, 128) tile for the DMA and makes
 # the matmul-gather a full (L, S) x (S, TILE) MXU op.
 SUPER_G = int(os.environ.get("RAYFINDER_SUPER_G", "128"))
-_SUB = 8  # rays per selection group (the sublane width)
+# Rays per selection group. 1 = fully per-lane front-to-back (no segmented
+# fold at all: every lane sweeps exactly the clusters IT needs, iterations =
+# max over lanes); 8 = one cluster per sublane-width group. TPU A/B
+# (courtyard, v5e, 2026-08-17): 1 -> 2.81 Mrays/s, 4 -> 2.31, 8 -> 2.02 —
+# per-lane selection wins big (same per-iteration cost, far fewer
+# iterations), so 1 is the default.
+_SUB = int(os.environ.get("RAYFINDER_SUB", "1"))
 
 
 def _grouped_mode(num_clusters: int) -> bool:
     mode = os.environ.get("RAYFINDER_GROUPED", "auto")
     if mode == "auto":
-        # TPU A/B (v5e, 2026-08-17): courtyard 2.02 vs 1.84 Mrays/s (+10%)
+        # TPU A/B (v5e, 2026-08-17): courtyard 2.81 (_SUB=1) vs 1.84 flat
+        # Mrays/s (+53%)
         # with the sorted regen accumulator; small scenes keep the flat
         # sweeps (single-super fast path already sync-lean there).
         return num_clusters > _BIG_CLUSTERS
@@ -225,18 +232,23 @@ def _seg_select(masked):
     tile = masked.shape[1]
     m = jnp.min(masked, axis=0, keepdims=True)  # (1, TILE)
     a = jnp.argmin(masked, axis=0).astype(jnp.int32)[None, :]
+    if _SUB == 1:
+        # Fully per-lane selection: the per-lane argmin IS the answer.
+        jb = jnp.where(jnp.isfinite(m), a, 0)
+        return jb, jnp.min(m)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
     seg = lane % _SUB
-    # Suffix fold: lane 8g ends holding its group's (min, argmin).
-    for k in (1, 2, 4):
+    folds = [k for k in (1, 2, 4, 8, 16, 32, 64) if k < _SUB]
+    # Suffix fold: each group's lane 0 ends holding the group (min, argmin).
+    for k in folds:
         m2 = pltpu.roll(m, tile - k, 1)
         a2 = pltpu.roll(a, tile - k, 1)
         ok = (seg + k < _SUB) & (m2 < m)
         m = jnp.where(ok, m2, m)
         a = jnp.where(ok, a2, a)
-    # Prefix broadcast: spread lane 8g's row id across its group.
+    # Prefix broadcast: spread each group-lane-0's row id across its group.
     jb = jnp.where(seg == 0, a, jnp.int32(2**30))
-    for k in (1, 2, 4):
+    for k in folds:
         jb = jnp.where(seg >= k, jnp.minimum(jb, pltpu.roll(jb, k, 1)), jb)
     jb = jnp.where(jb == jnp.int32(2**30), 0, jb)
     return jb, jnp.min(m)
