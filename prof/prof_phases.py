@@ -25,7 +25,10 @@ from rayfinder_tpu.render.sampling import (
 W, H, NF = 800, 600, int(os.environ.get("PROF_NF", "64"))
 BOUNCES = 4
 scene = load_device_scene("/root/reference/assets/Duck.glb")
-camera = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, W / H)
+if os.environ.get("PROF_SKYCAM"):
+    camera = create_camera([2.0, 1.5, 2.0], [2.0, 30.0, 2.0], 0.0, 1.0, 70.0, W / H)
+else:
+    camera = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, W / H)
 sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
 tile = jnp.asarray(blue_noise_tile())
 fence = jax.jit(lambda a: jnp.sum(a))
@@ -59,7 +62,7 @@ def primary(u, v_tex, noise):
         camera, noise, u + jitter[:, 0], (1.0 - v_tex) + jitter[:, 1])
 
 
-def body_of(u, v_tex, noise_base):
+def body_of(u, v_tex, noise_base, tile_override=None):
     def body(st):
         (sample, bounce, flag, origin, direction, thr, srad, lrad,
          sh_o, sh_d, contrib, it) = st
@@ -68,7 +71,7 @@ def body_of(u, v_tex, noise_base):
             scene, camera, sky, u, v_tex, noise_base, inv_dims, frame_base,
             spp, nf, T_MAX,
             sample, bounce, flag, origin, direction, thr, srad, lrad,
-            sh_o, sh_d, contrib)
+            sh_o, sh_d, contrib, tile_override=tile_override)
         live = sample < nf
         hit = live & (tri >= 0)
         noise = noise_of(noise_base, sample)
@@ -96,9 +99,9 @@ def body_of(u, v_tex, noise_base):
     return body
 
 
-@partial(jax.jit, static_argnames=("size",))
-def run_phase(u, v_tex, noise_base, st, size):
-    body = body_of(u, v_tex, noise_base)
+@partial(jax.jit, static_argnames=("size", "tile_override"))
+def run_phase(u, v_tex, noise_base, st, size, tile_override=None):
+    body = body_of(u, v_tex, noise_base, tile_override)
 
     def above(s):
         return jnp.sum((s[0] < nf).astype(jnp.int32)) > jnp.int32(size)
@@ -135,18 +138,20 @@ sizes = _phase_sizes(B, int(os.environ.get("RAYFINDER_COMPACT_FLOOR", "8192")))
 print("phases:", sizes, flush=True)
 
 # Warm all compiles first (so timing loop is clean).
+FT = int(os.environ.get("RAYFINDER_FULL_TILE", "1024"))
+overrides = [(FT, 4096 // FT)] + [None] * len(sizes)
 wu, wv, wn, wst = cur_u, cur_v, cur_nb, st
-for size in sizes[1:] + [0]:
-    wst = run_phase(wu, wv, wn, wst, size)
+for size, ov in zip(sizes[1:] + [0], overrides):
+    wst = run_phase(wu, wv, wn, wst, size, ov)
     float(fence(wst[7]))
     if size:
         wu, wv, wn, wst = compact(wu, wv, wn, wst, size)
 print("warmed", flush=True)
 
 it_prev = 0
-for size in sizes[1:] + [0]:
+for size, ov in zip(sizes[1:] + [0], overrides):
     t0 = time.time()
-    st = run_phase(cur_u, cur_v, cur_nb, st, size)
+    st = run_phase(cur_u, cur_v, cur_nb, st, size, ov)
     float(fence(st[7]))
     dt = time.time() - t0
     iters = int(st[11]) - it_prev

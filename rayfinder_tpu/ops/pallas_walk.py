@@ -326,8 +326,13 @@ def _closest_tile_sweep_grouped(
             cl_planes_ref[s, 0], cl_planes_ref[s, 1],
             ox, oy, oz, ix, iy, iz, bt,
         )
-        row_io = jax.lax.broadcasted_iota(jnp.int32, (SUPER_G, tile), 0)
-        starts_row = startf_ref[s, 0:1, :]  # (1, SUPER_G)
+        # Selection runs over the (possibly shrunk) entry rows; the onehot
+        # spans the 128-aligned DMA'd table lanes (jb always < group_sel).
+        group_sel = cl_planes_ref.shape[-1]
+        group_dma = tbufT.shape[-1]
+        row_io = jax.lax.broadcasted_iota(jnp.int32, (group_dma, tile), 0)
+        row_io_sel = jax.lax.broadcasted_iota(jnp.int32, (group_sel, tile), 0)
+        starts_row = startf_ref[s, 0:1, :]  # (1, G_dma)
 
         masked = jnp.where(cl_entry[:, :] < bt[None, :], cl_entry[:, :], jnp.inf)
         jb0, key0 = _seg_select(masked)
@@ -348,7 +353,7 @@ def _closest_tile_sweep_grouped(
             tri = start_lane.astype(jnp.int32) + slot
             bt = jnp.where(better, t_cand, bt)
             btri = jnp.where(better, tri, btri)
-            cl_entry[:, :] = jnp.where(row_io == jb, jnp.inf, cl_entry[:, :])
+            cl_entry[:, :] = jnp.where(row_io_sel == jb, jnp.inf, cl_entry[:, :])
             masked = jnp.where(
                 cl_entry[:, :] < bt[None, :], cl_entry[:, :], jnp.inf
             )
@@ -407,7 +412,10 @@ def _any_tile_sweep_grouped(
             cl_planes_ref[s, 0], cl_planes_ref[s, 1],
             ox, oy, oz, ix, iy, iz, pending_bound(occ),
         )
-        row_io = jax.lax.broadcasted_iota(jnp.int32, (SUPER_G, tile), 0)
+        group_sel = cl_planes_ref.shape[-1]
+        group_dma = tbufT.shape[-1]
+        row_io = jax.lax.broadcasted_iota(jnp.int32, (group_dma, tile), 0)
+        row_io_sel = jax.lax.broadcasted_iota(jnp.int32, (group_sel, tile), 0)
         masked = jnp.where(
             cl_entry[:, :] < pending_bound(occ)[None, :], cl_entry[:, :], jnp.inf
         )
@@ -424,7 +432,7 @@ def _any_tile_sweep_grouped(
                 v, ox, oy, oz, dx, dy, dz, pending_bound(occ)
             )
             occ = jnp.where(jnp.isfinite(t_cand), jnp.int32(1), occ)
-            cl_entry[:, :] = jnp.where(row_io == jb, jnp.inf, cl_entry[:, :])
+            cl_entry[:, :] = jnp.where(row_io_sel == jb, jnp.inf, cl_entry[:, :])
             masked = jnp.where(
                 cl_entry[:, :] < pending_bound(occ)[None, :],
                 cl_entry[:, :], jnp.inf,
@@ -462,13 +470,23 @@ def _any_tile_sweep_grouped(
 
 def _scene_tables_grouped(scene):
     """Grouped-layout scene tables: transposed triangle table
-    (S, 9, L, SUPER_G) — a super's DMA slice has aligned (L, SUPER_G) minor
-    tiles and feeds the matmul-gather directly — plus an f32 cluster-start
-    row padded to (S, 8, SUPER_G), super planes (3, S), and cluster planes
-    (S, 2, 3, SUPER_G)."""
+    (S, 9, L, G) — a super's DMA slice has aligned (L, G) minor tiles and
+    feeds the matmul-gather directly — plus an f32 cluster-start row padded
+    to (S, 8, G), super planes (3, S), and cluster planes (S, 2, 3, G).
+
+    The DMA'd table/starts lane dim must stay 128-aligned (Mosaic tiling),
+    but a SINGLE-super scene shrinks the SELECTION structures (cl_planes,
+    and with them the per-round slab entry + argmin passes) to the cluster
+    count rounded to a sublane multiple of 8: padding a 33-cluster scene's
+    entry table to 128 rows tripled the per-round selection cost for
+    nothing (the pad rows are degenerate)."""
     num_clusters, leaf = scene.cluster_tris.shape[:2]
-    num_supers = -(-num_clusters // SUPER_G)
-    pad = num_supers * SUPER_G - num_clusters
+    if num_clusters <= SUPER_G:
+        num_supers, group_sel = 1, max(8, -(-num_clusters // 8) * 8)
+    else:
+        num_supers, group_sel = -(-num_clusters // SUPER_G), SUPER_G
+    group = SUPER_G if num_supers > 1 else max(128, -(-group_sel // 128) * 128)
+    pad = num_supers * group - num_clusters
 
     table = scene.cluster_tris.reshape(num_clusters, leaf, 9).transpose(0, 2, 1)
     cl_min = scene.cluster_min
@@ -482,19 +500,19 @@ def _scene_tables_grouped(scene):
         cl_max = jnp.concatenate([cl_max, jnp.full((pad, 3), _FAR)], axis=0)
         starts = jnp.concatenate([starts, jnp.zeros((pad,), jnp.int32)])
 
-    # (S, SUPER_G, 9, L) -> (S, 9, L, SUPER_G): vertex rows lead, cluster id
-    # rides the lane dim for the onehot contraction.
-    tableT = table.reshape(num_supers, SUPER_G, 9, leaf).transpose(0, 2, 3, 1)
-    groups_min = cl_min.reshape(num_supers, SUPER_G, 3)
-    groups_max = cl_max.reshape(num_supers, SUPER_G, 3)
+    # (S, G, 9, L) -> (S, 9, L, G): vertex rows lead, cluster id rides the
+    # lane dim for the onehot contraction.
+    tableT = table.reshape(num_supers, group, 9, leaf).transpose(0, 2, 3, 1)
+    groups_min = cl_min.reshape(num_supers, group, 3)
+    groups_max = cl_max.reshape(num_supers, group, 3)
     super_min = jnp.min(groups_min, axis=1).T
     super_max = jnp.max(groups_max, axis=1).T
     cl_planes = jnp.stack(
         [groups_min.transpose(0, 2, 1), groups_max.transpose(0, 2, 1)], axis=1
-    )
-    startf = jnp.zeros((num_supers, 8, SUPER_G), jnp.float32)
+    )[:, :, :, :group_sel]
+    startf = jnp.zeros((num_supers, 8, group), jnp.float32)
     startf = startf.at[:, 0, :].set(
-        starts.reshape(num_supers, SUPER_G).astype(jnp.float32)
+        starts.reshape(num_supers, group).astype(jnp.float32)
     )
     return tableT, startf, super_min, super_max, cl_planes
 
@@ -892,8 +910,9 @@ def _walk_tables_and_specs(scene):
     grouped = _grouped_mode(scene.cluster_tris.shape[0])
     if grouped:
         table, starts, super_min, super_max, cl_planes = _scene_tables_grouped(scene)
-        start_spec = _full_spec(starts.shape)  # (S, 8, SUPER_G) f32 in VMEM
-        cl_rows, tbuf_shape = SUPER_G, (9, leaf, SUPER_G)
+        start_spec = _full_spec(starts.shape)  # (S, 8, G_dma) f32 in VMEM
+        # cl_entry spans the selection rows; tbuf spans the DMA'd lanes.
+        cl_rows, tbuf_shape = cl_planes.shape[-1], (9, leaf, table.shape[-1])
     else:
         table, starts, super_min, super_max, cl_planes = _scene_tables(scene)
         # Per-cluster start offsets: scalars, read one at a time.
