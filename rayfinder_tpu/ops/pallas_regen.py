@@ -40,9 +40,20 @@ from .pallas_walk import (
     _closest_tile_sweep,
     _closest_tile_sweep_grouped,
     _interpret,
+    _pair_tile_sweep,
     _pick_tile,
     _walk_tables_and_specs,
 )
+
+# Fuse the NEE-prologue occlusion sweep and the first closest sweep into one
+# pair sweep (single-super flat scenes): both traversals share one selection
+# loop and one scalar sync per iteration. MEASURED LOSS on TPU (Duck bench
+# 42.0 vs 49.2 Mrays/s, 2026-08-17): the per-iteration selection passes over
+# the stacked (2R, TILE) entry table cost more than the saved syncs — the
+# table passes, not the scalar syncs, are the binding per-iteration cost.
+# Kept opt-in for bigger-leaf or fatter-tile configs where the balance may
+# differ.
+_PAIR = os.environ.get("RAYFINDER_PAIR", "0") == "1"
 
 _TWO_PI = np.float32(2.0 * np.pi)
 _PI = np.float32(np.pi)
@@ -150,14 +161,15 @@ def _noise_rows(sample, nb0, nb1, i):
 
 
 def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
-                      grouped: bool = False):
+                      grouped: bool = False, pair: bool = False):
     def kernel(
         counters_ref, ray_ref, shade_ref, pix_ref, nee_ref,
         fscal, iscal, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
         counters_out, ray_out, shade_out, t_out, tri_out,
-        super_entry, cl_entry, tbuf, cache_tag, sem,
+        super_entry, cl_entry, tbuf, cache_tag, sem, *pair_scratch,
     ):
+        pair_entry = pair_scratch[0] if pair else None
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -190,7 +202,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
             lanes = sample.shape[0]
             live = sample < nf
 
-            # --- NEE prologue: resolve the PREVIOUS segment's light sample.
+            # --- NEE shadow state: the PREVIOUS segment's light sample.
             # flag: 0 = fresh ray (no pending NEE); 1 = pending NEE, input
             # ray is the scatter continuation; 2 = pending NEE, the path
             # terminates after it (depth limit / degenerate scatter).
@@ -203,59 +215,172 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
             six = jnp.float32(1.0) / sdx
             siy = jnp.float32(1.0) / sdy
             siz = jnp.float32(1.0) / sdz
-            if grouped:
-                occ = _any_tile_sweep_grouped(
-                    (sox, soy, soz, sdx, sdy, sdz, six, siy, siz), shadow_bound,
-                    super_min_ref, super_max_ref, cl_planes_ref,
-                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                    num_supers,
-                )
-            else:
-                occ = _any_tile_sweep(
-                    (sox, soy, soz, sdx, sdy, sdz, six, siy, siz), shadow_bound,
-                    start_ref, super_min_ref, super_max_ref, cl_planes_ref,
-                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                    num_supers=num_supers,
-                )
-            vis = jnp.where(occ == 0, jnp.float32(1.0), jnp.float32(0.0))
-            s0 = jnp.where(has_nee, s0 + c0 * vis, s0)
-            s1 = jnp.where(has_nee, s1 + c1 * vis, s1)
-            s2 = jnp.where(has_nee, s2 + c2 * vis, s2)
 
-            # --- terminate-after-NEE lanes: finish the sample, regenerate.
-            term = live & (flag == 2)
-            l0 = jnp.where(term, l0 + s0, l0)
-            l1 = jnp.where(term, l1 + s1, l1)
-            l2 = jnp.where(term, l2 + s2, l2)
-            s0 = jnp.where(term, jnp.float32(0.0), s0)
-            s1 = jnp.where(term, jnp.float32(0.0), s1)
-            s2 = jnp.where(term, jnp.float32(0.0), s2)
-            sample = jnp.where(term, sample + 1, sample)
-            regen0 = term & (sample < nf)
-            nx, ny = _noise_rows(sample, nb0, nb1, iscal)
-            pox, poy, poz, pdx, pdy, pdz = _primary_rows(u_row, v_row, nx, ny, fscal)
-            ox = jnp.where(regen0, pox, ox)
-            oy = jnp.where(regen0, poy, oy)
-            oz = jnp.where(regen0, poz, oz)
-            dx = jnp.where(regen0, pdx, dx)
-            dy = jnp.where(regen0, pdy, dy)
-            dz = jnp.where(regen0, pdz, dz)
-            one = jnp.float32(1.0)
-            t0 = jnp.where(regen0, one, t0)
-            t1 = jnp.where(regen0, one, t1)
-            t2 = jnp.where(regen0, one, t2)
-            bounce = jnp.where(regen0, 1, bounce)
+            def process_trace(st, bt, btri,
+                              u_row=u_row, v_row=v_row, nb0=nb0, nb1=nb1):
+                """Fold one trace's results: stop hit lanes for shading;
+                for misses accumulate throughput x sky, finish the sample,
+                regenerate the pixel's next primary in-register."""
+                (sample, bounce, ox, oy, oz, dx, dy, dz,
+                 t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                 tfin, trifin, stopped, _) = st
 
-            # --- main loop: trace to the next hit, consuming misses.
+                inflight = (sample < nf) & (stopped == 0)
+                hit = inflight & (btri >= 0)
+                tfin = jnp.where(hit, bt, tfin)
+                trifin = jnp.where(hit, btri, trifin)
+                stopped = jnp.where(hit, 1, stopped)
+                miss = inflight & (btri < 0)
+
+                skyr, skyg, skyb = _sky_rows(dx, dy, dz, fscal)
+                s0 = jnp.where(miss, s0 + t0 * skyr, s0)
+                s1 = jnp.where(miss, s1 + t1 * skyg, s1)
+                s2 = jnp.where(miss, s2 + t2 * skyb, s2)
+                l0 = jnp.where(miss, l0 + s0, l0)
+                l1 = jnp.where(miss, l1 + s1, l1)
+                l2 = jnp.where(miss, l2 + s2, l2)
+                s0 = jnp.where(miss, jnp.float32(0.0), s0)
+                s1 = jnp.where(miss, jnp.float32(0.0), s1)
+                s2 = jnp.where(miss, jnp.float32(0.0), s2)
+                sample = jnp.where(miss, sample + 1, sample)
+
+                regen = miss & (sample < nf)
+                nx, ny = _noise_rows(sample, nb0, nb1, iscal)
+                pox, poy, poz, pdx, pdy, pdz = _primary_rows(
+                    u_row, v_row, nx, ny, fscal
+                )
+                ox = jnp.where(regen, pox, ox)
+                oy = jnp.where(regen, poy, oy)
+                oz = jnp.where(regen, poz, oz)
+                dx = jnp.where(regen, pdx, dx)
+                dy = jnp.where(regen, pdy, dy)
+                dz = jnp.where(regen, pdz, dz)
+                one = jnp.float32(1.0)
+                t0 = jnp.where(regen, one, t0)
+                t1 = jnp.where(regen, one, t1)
+                t2 = jnp.where(regen, one, t2)
+                bounce = jnp.where(regen, 1, bounce)
+                flag = jnp.max(jnp.where(regen, 1, 0)).astype(jnp.int32)
+                return (sample, bounce, ox, oy, oz, dx, dy, dz,
+                        t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                        tfin, trifin, stopped, flag)
+
+            def apply_nee(vis, s0, s1, s2):
+                s0 = jnp.where(has_nee, s0 + c0 * vis, s0)
+                s1 = jnp.where(has_nee, s1 + c1 * vis, s1)
+                s2 = jnp.where(has_nee, s2 + c2 * vis, s2)
+                return s0, s1, s2
+
             tfin = jnp.full((lanes,), t_max, jnp.float32)
             trifin = jnp.full((lanes,), -1, jnp.int32)
             stopped = jnp.zeros((lanes,), jnp.int32)
-            flag0 = jnp.max(jnp.where(sample < nf, 1, 0)).astype(jnp.int32)
+            one = jnp.float32(1.0)
 
+            if pair:
+                # --- fused first round (single-super flat scenes): the NEE
+                # occlusion sweep and the first closest sweep share one
+                # selection loop / one sync per iteration. Terminating lanes
+                # regenerate BEFORE the sweep (independent of the NEE
+                # result); their radiance bookkeeping — which needs the
+                # visibility — happens after, in the same float order as
+                # the split path.
+                term = live & (flag == 2)
+                sample = jnp.where(term, sample + 1, sample)
+                regen0 = term & (sample < nf)
+                nx, ny = _noise_rows(sample, nb0, nb1, iscal)
+                pox, poy, poz, pdx, pdy, pdz = _primary_rows(
+                    u_row, v_row, nx, ny, fscal)
+                ox = jnp.where(regen0, pox, ox)
+                oy = jnp.where(regen0, poy, oy)
+                oz = jnp.where(regen0, poz, oz)
+                dx = jnp.where(regen0, pdx, dx)
+                dy = jnp.where(regen0, pdy, dy)
+                dz = jnp.where(regen0, pdz, dz)
+                t0 = jnp.where(regen0, one, t0)
+                t1 = jnp.where(regen0, one, t1)
+                t2 = jnp.where(regen0, one, t2)
+                bounce = jnp.where(regen0, 1, bounce)
+
+                inflight0 = sample < nf
+                bound0 = jnp.where(inflight0, t_max, neg_inf)
+                ix = jnp.float32(1.0) / dx
+                iy = jnp.float32(1.0) / dy
+                iz = jnp.float32(1.0) / dz
+                bt0, btri0, occ = _pair_tile_sweep(
+                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
+                    (sox, soy, soz, sdx, sdy, sdz, six, siy, siz),
+                    shadow_bound,
+                    start_ref, cl_planes_ref, table_hbm, pair_entry, tbuf,
+                    cache_tag, sem,
+                )
+                vis = jnp.where(occ == 0, jnp.float32(1.0), jnp.float32(0.0))
+                s0, s1, s2 = apply_nee(vis, s0, s1, s2)
+                l0 = jnp.where(term, l0 + s0, l0)
+                l1 = jnp.where(term, l1 + s1, l1)
+                l2 = jnp.where(term, l2 + s2, l2)
+                s0 = jnp.where(term, jnp.float32(0.0), s0)
+                s1 = jnp.where(term, jnp.float32(0.0), s1)
+                s2 = jnp.where(term, jnp.float32(0.0), s2)
+
+                st = (sample, bounce, ox, oy, oz, dx, dy, dz,
+                      t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                      tfin, trifin, stopped, jnp.int32(0))
+                st = process_trace(st, bt0, btri0)
+            else:
+                # --- split prologue: occlusion sweep, then terminate-after-
+                # NEE bookkeeping and regeneration.
+                if grouped:
+                    occ = _any_tile_sweep_grouped(
+                        (sox, soy, soz, sdx, sdy, sdz, six, siy, siz),
+                        shadow_bound,
+                        super_min_ref, super_max_ref, cl_planes_ref,
+                        table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                        num_supers,
+                    )
+                else:
+                    occ = _any_tile_sweep(
+                        (sox, soy, soz, sdx, sdy, sdz, six, siy, siz),
+                        shadow_bound,
+                        start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                        table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                        num_supers=num_supers,
+                    )
+                vis = jnp.where(occ == 0, jnp.float32(1.0), jnp.float32(0.0))
+                s0, s1, s2 = apply_nee(vis, s0, s1, s2)
+
+                term = live & (flag == 2)
+                l0 = jnp.where(term, l0 + s0, l0)
+                l1 = jnp.where(term, l1 + s1, l1)
+                l2 = jnp.where(term, l2 + s2, l2)
+                s0 = jnp.where(term, jnp.float32(0.0), s0)
+                s1 = jnp.where(term, jnp.float32(0.0), s1)
+                s2 = jnp.where(term, jnp.float32(0.0), s2)
+                sample = jnp.where(term, sample + 1, sample)
+                regen0 = term & (sample < nf)
+                nx, ny = _noise_rows(sample, nb0, nb1, iscal)
+                pox, poy, poz, pdx, pdy, pdz = _primary_rows(
+                    u_row, v_row, nx, ny, fscal)
+                ox = jnp.where(regen0, pox, ox)
+                oy = jnp.where(regen0, poy, oy)
+                oz = jnp.where(regen0, poz, oz)
+                dx = jnp.where(regen0, pdx, dx)
+                dy = jnp.where(regen0, pdy, dy)
+                dz = jnp.where(regen0, pdz, dz)
+                t0 = jnp.where(regen0, one, t0)
+                t1 = jnp.where(regen0, one, t1)
+                t2 = jnp.where(regen0, one, t2)
+                bounce = jnp.where(regen0, 1, bounce)
+
+                st = (sample, bounce, ox, oy, oz, dx, dy, dz,
+                      t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                      tfin, trifin, stopped,
+                      jnp.max(jnp.where(sample < nf, 1, 0)).astype(jnp.int32))
+
+            # --- main loop: trace to the next hit, consuming misses.
             def cond(st):
                 return st[-1] > 0
 
-            def one_round(st, u_row=u_row, v_row=v_row, nb0=nb0, nb1=nb1):
+            def one_round(st):
                 (sample, bounce, ox, oy, oz, dx, dy, dz,
                  t0, t1, t2, s0, s1, s2, l0, l1, l2,
                  tfin, trifin, stopped, _) = st
@@ -279,60 +404,18 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                         table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
                         num_supers=num_supers,
                     )
-                hit = inflight & (btri >= 0)
-                tfin = jnp.where(hit, bt, tfin)
-                trifin = jnp.where(hit, btri, trifin)
-                stopped = jnp.where(hit, 1, stopped)
-                miss = inflight & (btri < 0)
-
-                # Miss: radiance += throughput * sky; finish the sample.
-                skyr, skyg, skyb = _sky_rows(dx, dy, dz, fscal)
-                s0 = jnp.where(miss, s0 + t0 * skyr, s0)
-                s1 = jnp.where(miss, s1 + t1 * skyg, s1)
-                s2 = jnp.where(miss, s2 + t2 * skyb, s2)
-                l0 = jnp.where(miss, l0 + s0, l0)
-                l1 = jnp.where(miss, l1 + s1, l1)
-                l2 = jnp.where(miss, l2 + s2, l2)
-                s0 = jnp.where(miss, jnp.float32(0.0), s0)
-                s1 = jnp.where(miss, jnp.float32(0.0), s1)
-                s2 = jnp.where(miss, jnp.float32(0.0), s2)
-                sample = jnp.where(miss, sample + 1, sample)
-
-                # Regenerate the pixel's next primary ray in-register.
-                regen = miss & (sample < nf)
-                nx, ny = _noise_rows(sample, nb0, nb1, iscal)
-                pox, poy, poz, pdx, pdy, pdz = _primary_rows(
-                    u_row, v_row, nx, ny, fscal
-                )
-                ox = jnp.where(regen, pox, ox)
-                oy = jnp.where(regen, poy, oy)
-                oz = jnp.where(regen, poz, oz)
-                dx = jnp.where(regen, pdx, dx)
-                dy = jnp.where(regen, pdy, dy)
-                dz = jnp.where(regen, pdz, dz)
-                one = jnp.float32(1.0)
-                t0 = jnp.where(regen, one, t0)
-                t1 = jnp.where(regen, one, t1)
-                t2 = jnp.where(regen, one, t2)
-                bounce = jnp.where(regen, 1, bounce)
-                flag = jnp.max(jnp.where(regen, 1, 0)).astype(jnp.int32)
-                return (sample, bounce, ox, oy, oz, dx, dy, dz,
-                        t0, t1, t2, s0, s1, s2, l0, l1, l2,
-                        tfin, trifin, stopped, flag)
+                return process_trace(st, bt, btri)
 
             def body(st):
-                # Two rounds per while iteration: each scalar/vector sync
+                # Rounds per while iteration: each scalar/vector sync
                 # (loop condition + selection argmins) costs as much as a
                 # sweep, and all-miss tiles (pure sky) run one round per
-                # sample — unrolling halves that overhead. A round with no
-                # in-flight lanes degenerates to a rejected sweep (cheap).
+                # sample — unrolling amortizes that overhead. A round with
+                # no in-flight lanes degenerates to a rejected sweep.
                 for _ in range(_ROUND_UNROLL):
                     st = one_round(st)
                 return st
 
-            st = (sample, bounce, ox, oy, oz, dx, dy, dz,
-                  t0, t1, t2, s0, s1, s2, l0, l1, l2,
-                  tfin, trifin, stopped, flag0)
             st = jax.lax.while_loop(cond, body, st)
             (sample, bounce, ox, oy, oz, dx, dy, dz,
              t0, t1, t2, s0, s1, s2, l0, l1, l2,
@@ -478,8 +561,16 @@ def pallas_trace_regen(
         zeros = tuple(0 for _ in shape)
         return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
 
+    pair = _PAIR and not grouped and num_supers == 1
+    scratch_shapes = scratch(num_supers, tile)
+    if pair:
+        # Stacked (closest | occlusion) entry table for the pair sweep.
+        scratch_shapes = scratch_shapes + [
+            pltpu.VMEM((2 * cl_planes.shape[-1], tile), jnp.float32)
+        ]
+
     outs = pl.pallas_call(
-        _make_path_kernel(leaf, num_supers, rt, grouped=grouped),
+        _make_path_kernel(leaf, num_supers, rt, grouped=grouped, pair=pair),
         grid=(tiles // rt,),
         in_specs=[
             pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -509,7 +600,7 @@ def pallas_trace_regen(
             jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
             jax.ShapeDtypeStruct((tiles, 1, tile), jnp.int32),
         ],
-        scratch_shapes=scratch(num_supers, tile),
+        scratch_shapes=scratch_shapes,
         interpret=_interpret(),
     )(counters, rays, shade, pix, nee, fscal, iscal, starts, super_min,
       super_max, cl_planes, table)

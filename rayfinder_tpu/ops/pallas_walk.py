@@ -681,6 +681,112 @@ def _closest_tile_sweep(
     return bt, btri
 
 
+# Clusters tested per pair-sweep iteration (closest + occlusion rows share
+# one selection loop, so the two tables balance the K slots between them and
+# trailing-waste is rarer than in a single-table sweep at the same K).
+_PAIR_K = int(os.environ.get("RAYFINDER_PAIR_K", str(_SWEEP_K)))
+
+
+def _pair_tile_sweep(
+    cont_rays, bound0, sh_rays, sh_bound,
+    start_ref, cl_planes_ref, table_hbm, pair_entry, tbuf, cache_tag, sem,
+):
+    """Fused closest+occlusion sweep for ONE ray tile, single-super scenes.
+
+    Replaces [NEE-prologue any-sweep; first closest sweep] in the persistent
+    path kernel with ONE front-to-back loop over a stacked (2R, TILE) entry
+    table: rows 0..R-1 are the continuation rays' cluster entries (bounded
+    by the shrinking best-hit t), rows R..2R-1 the shadow rays' entries
+    (bounded by the per-lane pending occlusion bound). Each iteration
+    selects the _PAIR_K globally nearest needed rows and tests each with a
+    single Möller-Trumbore block on scalar-selected rays — one scalar sync
+    per iteration covers BOTH traversals, and the two tables split the K
+    slots wherever the work actually is.
+
+    Closest results are bit-identical to _closest_tile_sweep: the closest
+    rows keep their relative front-to-back order (global argmin restricted
+    to rows 0..R-1 is the same order, and shadow rows at higher indices
+    never steal an equal-entry tie from them), bounds only shrink, and
+    erase-safety holds per table. Occlusion is order-independent.
+
+    cont_rays/sh_rays: 9-tuples of (TILE,) registers. bound0: per-lane
+    closest bound (-inf parks). sh_bound: per-lane occlusion bound (-inf =
+    no pending shadow ray). Returns (bt, btri, occ).
+    """
+    cox, coy, coz, cdx, cdy, cdz, cix, ciy, ciz = cont_rays
+    sox, soy, soz, sdx, sdy, sdz, six, siy, siz = sh_rays
+    tile = bound0.shape[0]
+    rows = cl_planes_ref.shape[-1]
+    btri0 = jnp.full((tile,), -1, jnp.int32)
+    occ0 = jnp.zeros((tile,), jnp.int32)
+
+    _fetch_super(table_hbm, tbuf, sem, cache_tag, jnp.int32(0))
+    pair_entry[0:rows, :] = _slab_entry_rows(
+        cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+        cox, coy, coz, cix, ciy, ciz, bound0,
+    )
+    pair_entry[rows:2 * rows, :] = _slab_entry_rows(
+        cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+        sox, soy, soz, six, siy, siz, sh_bound,
+    )
+    row_io = jax.lax.broadcasted_iota(jnp.int32, (2 * rows, tile), 0)
+    is_top = row_io < rows
+
+    def pending(occ):
+        return jnp.where(occ == 0, sh_bound, -jnp.inf)
+
+    def select(bt, occ):
+        bounds = jnp.where(is_top, bt[None, :], pending(occ)[None, :])
+        masked = jnp.where(pair_entry[:, :] < bounds, pair_entry[:, :], jnp.inf)
+        key = jnp.min(masked, axis=1, keepdims=True)  # (2R, 1)
+        ids = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+        js = []
+        for _ in range(_PAIR_K):
+            j = jnp.argmin(key, axis=0)[0].astype(jnp.int32)
+            js.append(j)
+            key = jnp.where(ids == j, jnp.inf, key)
+        return js, jnp.min(masked)
+
+    js0, key0 = select(bound0, occ0)
+
+    def cond(state):
+        return jnp.isfinite(state[-1])
+
+    def body(state):
+        bt, btri, occ = state[0], state[1], state[2]
+        js = state[3:3 + _PAIR_K]
+        inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
+        for j in js:
+            top = j < rows          # scalar: which traversal this row feeds
+            jc = jnp.where(top, j, j - rows)
+            ox = jnp.where(top, cox, sox)
+            oy = jnp.where(top, coy, soy)
+            oz = jnp.where(top, coz, soz)
+            dx = jnp.where(top, cdx, sdx)
+            dy = jnp.where(top, cdy, sdy)
+            dz = jnp.where(top, cdz, sdz)
+            mt_bound = jnp.where(top, bt, sh_bound)
+            t_cand, slot = _mt_block(tbuf, jc, ox, oy, oz, dx, dy, dz, mt_bound)
+            entry_row = pair_entry[j, :]
+            # Closest side: accept strictly-better hits for needing lanes.
+            better = top & (entry_row < bt) & (t_cand < bt)
+            tri = start_ref[jc] + slot
+            bt = jnp.where(better, t_cand, bt)
+            btri = jnp.where(better, tri, btri)
+            # Occlusion side: any accept occludes a still-pending lane.
+            hit_any = (~top) & jnp.isfinite(entry_row) & (occ == 0) \
+                & jnp.isfinite(t_cand)
+            occ = jnp.where(hit_any, jnp.int32(1), occ)
+            pair_entry[j, :] = inf_row
+        js_n, key_n = select(bt, occ)
+        return (bt, btri, occ, *js_n, key_n)
+
+    state = jax.lax.while_loop(
+        cond, body, (bound0, btri0, occ0, *js0, key0)
+    )
+    return state[0], state[1], state[2]
+
+
 def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int,
                          grouped: bool = False):
     def kernel(
