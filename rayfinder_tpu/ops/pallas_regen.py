@@ -86,9 +86,18 @@ _F_SKY_RAD = 23        # 3
 _F_PARAMS = 26         # 3 channels x 9
 _F_INV_W = 53
 _F_INV_H = 54
-_F_LEN = 55
-# iscal layout (int32): frame_base, spp, num_frames
+# In-kernel shading extras (pallas_trace_regen ignores them): the sun-frame
+# ONB (pixar_onb(sun_direction), matching render/sampling exactly), solar
+# radiances, and the solar-disk cone constants.
+_F_SUN_U = 55          # 3
+_F_SUN_V = 58          # 3
+_F_SOLAR = 61          # 3
+_F_COS_THETA_MAX = 64
+_F_INV_PDF = 65
+_F_LEN = 66
+# iscal layout (int32): frame_base, spp, num_frames [, num_bounces (shaded)]
 _I_LEN = 3
+_FRAC_1_PI = np.float32(1.0 / np.pi)
 
 
 def acos_poly(x):
@@ -448,6 +457,11 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
 
 
 def _pack_fscal(camera, sky, t_max, inv_dims) -> jnp.ndarray:
+    from ..render.pathtracer import SOLAR_COS_THETA_MAX, SOLAR_INV_PDF
+    from ..render.sampling import pixar_onb
+
+    sun = jnp.asarray(sky.sun_direction, jnp.float32).reshape(3)
+    sun_u, sun_v, _ = pixar_onb(sun)
     parts = [
         jnp.asarray(camera.origin, jnp.float32).reshape(3),
         jnp.asarray(camera.lower_left_corner, jnp.float32).reshape(3),
@@ -457,10 +471,15 @@ def _pack_fscal(camera, sky, t_max, inv_dims) -> jnp.ndarray:
         jnp.asarray(camera.up, jnp.float32).reshape(3),
         jnp.asarray(camera.lens_radius, jnp.float32).reshape(1),
         jnp.asarray(t_max, jnp.float32).reshape(1),
-        jnp.asarray(sky.sun_direction, jnp.float32).reshape(3),
+        sun,
         jnp.asarray(sky.sky_radiances, jnp.float32).reshape(3),
         jnp.asarray(sky.params, jnp.float32).reshape(27),
         jnp.asarray(inv_dims, jnp.float32).reshape(2),
+        sun_u.reshape(3),
+        sun_v.reshape(3),
+        jnp.asarray(sky.solar_radiances, jnp.float32).reshape(3),
+        jnp.asarray(SOLAR_COS_THETA_MAX, jnp.float32).reshape(1),
+        jnp.asarray(SOLAR_INV_PDF, jnp.float32).reshape(1),
     ]
     f = jnp.concatenate(parts)
     assert f.shape == (_F_LEN,)
@@ -471,6 +490,290 @@ def _pack_rows(arrs, tiles, tile):
     """Stack (B,) arrays as (tiles, len(arrs), tile) channel blocks."""
     rows = jnp.stack(arrs, axis=1)  # (B, C)
     return rows.reshape(tiles, tile, len(arrs)).transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# IN-KERNEL SHADING (small flat scenes): the persistent path kernel runs the
+# ENTIRE path loop on-chip — surface interaction, texture albedo, NEE light
+# sampling and the cosine-weighted scatter included — so one kernel dispatch
+# renders every sample of every lane with no XLA round-trips and no hit-lane
+# idling (a lane that hits shades immediately and continues, instead of
+# stopping until all tile-mates stop).
+#
+# The HBM gathers the split kernel returned to XLA for become MXU gathers:
+#  * per-triangle attributes (positions/normals/uvs/texture id) ride as a
+#    3-way bf16-split table — hi/mid/lo planes with hi+mid+lo == f32 value
+#    EXACTLY — contracted against a one-hot (T, TILE) matrix; the f32 sum of
+#    the three products reconstructs the f32 gather bit-exactly (probed on
+#    v5e: exact), because each split part is exact in bf16 and the one-hot
+#    leaves one nonzero term per lane;
+#  * texels ride as three (128, R) bf16 channel planes (u8 values are exact
+#    in bf16): a (128, R) x (R, TILE) matmul fetches each lane's 128-texel
+#    column, a sublane one-hot reduce picks the texel — also exact;
+#  * texture descriptors (w, h, offset ints) are a static unrolled select
+#    chain over SMEM scalars.
+# Every other shading op (pow 2.2, sqrt/sin/cos, the mantissa offset bitcast)
+# lowers bit-identically to XLA on TPU (probed), so the in-kernel shade
+# matches render/pathtracer._nee_and_continuation float-for-float.
+# ---------------------------------------------------------------------------
+
+# VMEM budget for the resident shade tables (attr splits + texel planes,
+# bytes). Scenes over budget keep the split kernel + XLA shade.
+_INKERNEL_BUDGET = int(os.environ.get("RAYFINDER_INKERNEL_BUDGET", str(6 << 20)))
+
+
+def _shade_table_sizes(scene):
+    t = scene.tri_positions.shape[0]
+    s8 = -(-(-(-t // 128)) // 8) * 8  # ceil(T/128) rounded up to 8 sublanes
+    p = scene.texels.shape[0]
+    r = max(1, -(-p // 128))
+    return s8, r
+
+
+def inkernel_shade_ok(scene) -> bool:
+    """Do the shade tables fit the VMEM budget (attrs (25, S8, 128) f32 +
+    texels 3x(128,R) bf16)?"""
+    s8, r = _shade_table_sizes(scene)
+    return 25 * s8 * 128 * 4 + 3 * 128 * r * 2 <= _INKERNEL_BUDGET
+
+
+def _shade_tables(scene):
+    """Build the kernel-resident shading tables.
+
+    Returns (attrs (25, S8, 128) f32, tex_planes (3, 128, R) bf16,
+    desc (K, 3) i32). Attr plane r holds attribute r of triangle g at
+    [r, g >> 7, g & 127] — the in-kernel gather lane-shuffles the low 7
+    index bits (tpu.dynamic_gather along lanes, any row count) and
+    mask-reduces the row bits (sublane dynamic_gather only works within one
+    (8, 128) register, probed on v5e). Rows 0-8 positions, 9-17 normals,
+    18-23 uvs, 24 texture id as a plain float."""
+    t = scene.tri_positions.shape[0]
+    s8, r = _shade_table_sizes(scene)
+    attr = jnp.concatenate(
+        [
+            scene.tri_positions.reshape(t, 9),
+            scene.tri_normals.reshape(t, 9),
+            scene.tri_uvs.reshape(t, 6),
+            scene.tri_texture.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (T, 25)
+    attrs = jnp.zeros((25, s8 * 128), jnp.float32).at[:, :t].set(attr.T)
+    attrs = attrs.reshape(25, s8, 128)
+
+    texels = scene.texels
+    p = texels.shape[0]
+    pad = r * 128 - p
+    if pad:
+        texels = jnp.concatenate([texels, jnp.zeros((pad,), texels.dtype)])
+    planes = []
+    for shift in (16, 8, 0):  # r, g, b (texture_eval.py byte order)
+        chan = ((texels >> jnp.uint32(shift)) & jnp.uint32(0xFF)).astype(
+            jnp.float32
+        )
+        planes.append(chan.reshape(r, 128).T.astype(jnp.bfloat16))
+    tex_planes = jnp.stack(planes)  # (3, 128, R)
+    return attrs, tex_planes, scene.tex_desc
+
+
+def _offset_rows(p, n):
+    """offset_ray per component (render/intersect.py offset_ray, reference
+    ray_intersection.cpp:17-35): integer-mantissa offset away from the
+    surface, fixed epsilon near the origin."""
+    offset = (np.float32(256.0) * n).astype(jnp.int32)
+    p_bits = jax.lax.bitcast_convert_type(p, jnp.int32)
+    po_bits = p_bits + jnp.where(p < 0, -offset, offset)
+    po = jax.lax.bitcast_convert_type(po_bits, jnp.float32)
+    return jnp.where(
+        jnp.abs(p) < np.float32(1.0 / 32.0),
+        p + np.float32(1.0 / 65536.0) * n,
+        po,
+    )
+
+
+def _onb_rows(nx, ny, nz):
+    """pixar_onb on row vectors (render/sampling.py:14-28), returning the
+    u and v basis rows (n is the input)."""
+    one = jnp.float32(1.0)
+    s = jnp.where(nz >= 0.0, one, -one)
+    a = -one / (s + nz)
+    b = nx * ny * a
+    ux = one + s * nx * nx * a
+    uy = s * b
+    uz = -s * nx
+    vx = b
+    vy = s + ny * ny * a
+    vz = -ny
+    return (ux, uy, uz), (vx, vy, vz)
+
+
+def _isfinite_rows(x):
+    return jnp.abs(x) < jnp.float32(np.inf)
+
+
+def _shade_rows(
+    hit, sample, bounce,
+    ox, oy, oz, dx, dy, dz, t0, t1, t2,
+    nb0, nb1, btri,
+    fscal, iscal, desc_ref, attr_buf, tex_buf,
+    num_textures: int,
+):
+    """In-kernel mirror of render/pathtracer._surface_interaction +
+    eval_texture + _nee_and_continuation for lanes stopped at a hit.
+
+    Float-for-float the same arithmetic as the XLA shade (same op order;
+    gathers/transcendentals probed bit-exact on v5e). Returns
+    (flag, ox, oy, oz, dx, dy, dz, t0, t1, t2, bounce,
+    sox, soy, soz, sdx, sdy, sdz, c0, c1, c2).
+    """
+    tile = btri.shape[0]
+    s8 = attr_buf.shape[1]
+    one = jnp.float32(1.0)
+    park = jnp.float32(1e30)
+
+    # --- attribute gather: per-lane (row, col) split of the triangle index;
+    # cols via tpu.dynamic_gather lane shuffle, rows via a shared mask
+    # reduce (one nonzero term per lane -> exact f32) ---
+    safe_tri = jnp.maximum(btri, 0)
+    arow = jnp.right_shift(safe_tri, 7)
+    acol = jnp.bitwise_and(safe_tri, 127)
+    acolb = jnp.broadcast_to(acol[None, :], (s8, tile))
+    io_a = jax.lax.broadcasted_iota(jnp.int32, (s8, tile), 0)
+    amask = io_a == arow[None, :]
+    zero_st = jnp.float32(0.0)
+
+    def fetch(r):
+        y = jnp.take_along_axis(attr_buf[r], acolb, axis=1)
+        return jnp.sum(jnp.where(amask, y, zero_st), axis=0)
+
+    g = [fetch(r) for r in range(25)]  # 25 (tile,) lane rows
+    v0x, v0y, v0z = g[0], g[1], g[2]
+    v1x, v1y, v1z = g[3], g[4], g[5]
+    v2x, v2y, v2z = g[6], g[7], g[8]
+
+    # --- Möller-Trumbore re-derivation of (u, v) (_surface_interaction) ---
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    det = e1x * hx + e1y * hy + e1z * hz
+    inv_det = one / det
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    b1 = inv_det * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    b2 = inv_det * (dx * qx + dy * qy + dz * qz)
+
+    px = v0x + b1 * e1x + b2 * e2x
+    py = v0y + b1 * e1y + b2 * e2y
+    pz = v0z + b1 * e1z + b2 * e2z
+    gnx = e1y * e2z - e1z * e2y
+    gny = e1z * e2x - e1x * e2z
+    gnz = e1x * e2y - e1y * e2x
+    norm = jnp.sqrt(gnx * gnx + gny * gny + gnz * gnz)
+    gnx, gny, gnz = gnx / norm, gny / norm, gnz / norm
+    pox = _offset_rows(px, gnx)
+    poy = _offset_rows(py, gny)
+    poz = _offset_rows(pz, gnz)
+
+    b0 = one - b1 - b2
+    nx = b0 * g[9] + b1 * g[12] + b2 * g[15]
+    ny = b0 * g[10] + b1 * g[13] + b2 * g[16]
+    nz = b0 * g[11] + b1 * g[14] + b2 * g[17]
+    uvx = b0 * g[18] + b1 * g[20] + b2 * g[22]
+    uvy = b0 * g[19] + b1 * g[21] + b2 * g[23]
+    ti = g[24].astype(jnp.int32)
+
+    # --- texture lookup (texture_eval.eval_texture) ---
+    wi_ = jnp.zeros((tile,), jnp.int32)
+    hi_ = jnp.zeros((tile,), jnp.int32)
+    off_ = jnp.zeros((tile,), jnp.int32)
+    for k in range(num_textures):
+        m = ti == k
+        wi_ = jnp.where(m, desc_ref[k, 0], wi_)
+        hi_ = jnp.where(m, desc_ref[k, 1], hi_)
+        off_ = jnp.where(m, desc_ref[k, 2], off_)
+    uf = uvx - jnp.floor(uvx)
+    vf = uvy - jnp.floor(uvy)
+    tj = (uf * wi_.astype(jnp.float32)).astype(jnp.int32)
+    tii = (vf * hi_.astype(jnp.float32)).astype(jnp.int32)
+    tj = jnp.clip(tj, 0, wi_ - 1)
+    tii = jnp.clip(tii, 0, hi_ - 1)
+    gidx = off_ + tii * wi_ + tj
+    trow = jnp.right_shift(gidx, 7)
+    tcol = jnp.bitwise_and(gidx, 127)
+
+    r_rows = tex_buf.shape[-1]
+    io_r = jax.lax.broadcasted_iota(jnp.int32, (r_rows, tile), 0)
+    oh_row = (io_r == trow[None, :]).astype(jnp.bfloat16)
+    io_s = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
+    colmask = io_s == tcol[None, :]
+    albedo = []
+    for c in range(3):
+        m1 = jax.lax.dot_general(
+            tex_buf[c], oh_row, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (128, tile)
+        val = jnp.sum(jnp.where(colmask, m1, jnp.float32(0.0)), axis=0)
+        albedo.append(
+            jnp.power(val / jnp.float32(255.0), jnp.float32(2.2))
+        )
+
+    # --- NEE: solar-disk cone sample (_nee_and_continuation) ---
+    nsx, nsy = _noise_rows(sample, nb0, nb1, iscal)
+    ct = one - nsx * (one - fscal[_F_COS_THETA_MAX])
+    st = jnp.sqrt(one - ct * ct)
+    phi = _TWO_PI * nsy
+    lx, ly, lz = jnp.cos(phi) * st, jnp.sin(phi) * st, ct
+    ldx = lx * fscal[_F_SUN_U] + ly * fscal[_F_SUN_V] + lz * fscal[_F_SUN]
+    ldy = (lx * fscal[_F_SUN_U + 1] + ly * fscal[_F_SUN_V + 1]
+           + lz * fscal[_F_SUN + 1])
+    ldz = (lx * fscal[_F_SUN_U + 2] + ly * fscal[_F_SUN_V + 2]
+           + lz * fscal[_F_SUN + 2])
+
+    cos_term = nx * ldx + ny * ldy + nz * ldz
+    p_ok = _isfinite_rows(pox) & _isfinite_rows(poy) & _isfinite_rows(poz)
+    sh_ok = hit & p_ok
+    sox = jnp.where(sh_ok, pox, park)
+    soy = jnp.where(sh_ok, poy, park)
+    soz = jnp.where(sh_ok, poz, park)
+    zero = jnp.float32(0.0)
+    thr = (t0, t1, t2)
+    contrib = []
+    for c in range(3):
+        brdf = albedo[c] * _FRAC_1_PI
+        cc = (((thr[c] * fscal[_F_SOLAR + c]) * brdf) * cos_term) \
+            * fscal[_F_INV_PDF]
+        contrib.append(jnp.where(hit, cc, zero))
+
+    # --- scatter: cosine-weighted hemisphere about the shading normal ---
+    st2 = jnp.sqrt(one - nsx)
+    phi2 = _TWO_PI * nsy
+    cx, cy, cz = jnp.cos(phi2) * st2, jnp.sin(phi2) * st2, jnp.sqrt(nsx)
+    (bux, buy, buz), (bvx, bvy, bvz) = _onb_rows(nx, ny, nz)
+    wix = cx * bux + cy * bvx + cz * nx
+    wiy = cx * buy + cy * bvy + cz * ny
+    wiz = cx * buz + cy * bvz + cz * nz
+    ray_ok = (_isfinite_rows(wix) & _isfinite_rows(wiy)
+              & _isfinite_rows(wiz) & p_ok)
+    nb = iscal[3]
+    scatter = hit & (bounce < nb) & ray_ok
+    flag = jnp.where(hit, jnp.where(scatter, 1, 2), 0).astype(jnp.int32)
+    ox = jnp.where(scatter, pox, ox)
+    oy = jnp.where(scatter, poy, oy)
+    oz = jnp.where(scatter, poz, oz)
+    dx = jnp.where(scatter, wix, dx)
+    dy = jnp.where(scatter, wiy, dy)
+    dz = jnp.where(scatter, wiz, dz)
+    t0 = jnp.where(scatter, t0 * albedo[0], t0)
+    t1 = jnp.where(scatter, t1 * albedo[1], t1)
+    t2 = jnp.where(scatter, t2 * albedo[2], t2)
+    bounce = jnp.where(scatter, bounce + 1, bounce)
+    return (flag, ox, oy, oz, dx, dy, dz, t0, t1, t2, bounce,
+            sox, soy, soz, ldx, ldy, ldz,
+            contrib[0], contrib[1], contrib[2])
 
 
 @partial(jax.jit, static_argnames=("tile_override",))
@@ -620,3 +923,354 @@ def pallas_trace_regen(
     t = unpack(t_o, 0)
     tri = unpack(tri_o, 0)
     return sample, bounce, origin, direction, thr, srad, lrad, t, tri
+
+
+def _make_shaded_path_kernel(leaf: int, num_supers: int, rt_count: int,
+                             num_textures: int):
+    """Persistent path kernel WITH in-kernel shading: one dispatch runs the
+    whole path loop (trace + sky + NEE + texture shade + scatter + regen) for
+    every lane until its samples are exhausted. See the module section
+    comment above _shade_rows for the gather machinery."""
+
+    def kernel(
+        counters_ref, ray_ref, shade_ref, pix_ref, nee_ref,
+        fscal, iscal, desc_ref, start_ref, super_min_ref, super_max_ref,
+        cl_planes_ref, table_hbm, attr_hbm, tex_hbm,
+        counters_out, ray_out, shade_out, nee_out,
+        super_entry, cl_entry, tbuf, cache_tag, sem,
+        attr_buf, tex_buf,
+    ):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            cache_tag[0] = jnp.int32(-1)
+            dma = pltpu.make_async_copy(attr_hbm, attr_buf, sem)
+            dma.start()
+            dma.wait()
+            dma2 = pltpu.make_async_copy(tex_hbm, tex_buf, sem)
+            dma2.start()
+            dma2.wait()
+
+        nf = iscal[2]
+        floor = iscal[4]  # per-tile live floor: exit when live <= floor
+        t_max = fscal[_F_T_MAX]
+        neg_inf = jnp.float32(-jnp.inf)
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+
+        def per_tile(rt, _):
+            sample = counters_ref[rt, 0, :]
+            bounce = counters_ref[rt, 1, :]
+            flag = counters_ref[rt, 2, :]
+            ox, oy, oz = ray_ref[rt, 0, :], ray_ref[rt, 1, :], ray_ref[rt, 2, :]
+            dx, dy, dz = ray_ref[rt, 3, :], ray_ref[rt, 4, :], ray_ref[rt, 5, :]
+            t0, t1, t2 = shade_ref[rt, 0, :], shade_ref[rt, 1, :], shade_ref[rt, 2, :]
+            s0, s1, s2 = shade_ref[rt, 3, :], shade_ref[rt, 4, :], shade_ref[rt, 5, :]
+            l0, l1, l2 = shade_ref[rt, 6, :], shade_ref[rt, 7, :], shade_ref[rt, 8, :]
+            u_row = pix_ref[rt, 0, :]
+            v_row = pix_ref[rt, 1, :]
+            nb0 = pix_ref[rt, 2, :]
+            nb1 = pix_ref[rt, 3, :]
+            sox, soy, soz = nee_ref[rt, 0, :], nee_ref[rt, 1, :], nee_ref[rt, 2, :]
+            sdx, sdy, sdz = nee_ref[rt, 3, :], nee_ref[rt, 4, :], nee_ref[rt, 5, :]
+            c0, c1, c2 = nee_ref[rt, 6, :], nee_ref[rt, 7, :], nee_ref[rt, 8, :]
+
+            lanes = sample.shape[0]
+
+            def cond(st):
+                return st[-1] > 0
+
+            def body(st):
+                (sample, bounce, flag, ox, oy, oz, dx, dy, dz,
+                 t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                 sox, soy, soz, sdx, sdy, sdz, c0, c1, c2, _) = st
+
+                # --- resolve the previous segment's pending NEE ---
+                # Unconditional: in the hybrid's shaded phases nearly every
+                # round has pending NEE (each hit queues one), so a
+                # pl.when guard costs a scalar sync per round for nothing;
+                # with no pending lanes the sweep's selection goes +inf
+                # after one slab pass and exits.
+                live = sample < nf
+                has_nee = live & (flag > 0)
+                nonzero_c = (c0 != 0.0) | (c1 != 0.0) | (c2 != 0.0)
+                pend = has_nee & nonzero_c
+                shadow_bound = jnp.where(pend, t_max, neg_inf)
+                six = one / sdx
+                siy = one / sdy
+                siz = one / sdz
+                occ = _any_tile_sweep(
+                    (sox, soy, soz, sdx, sdy, sdz, six, siy, siz),
+                    shadow_bound,
+                    start_ref, super_min_ref, super_max_ref,
+                    cl_planes_ref, table_hbm, super_entry, cl_entry,
+                    tbuf, cache_tag, sem, num_supers=num_supers,
+                )
+                vis = jnp.where(occ == 0, one, zero)
+                s0 = jnp.where(has_nee, s0 + c0 * vis, s0)
+                s1 = jnp.where(has_nee, s1 + c1 * vis, s1)
+                s2 = jnp.where(has_nee, s2 + c2 * vis, s2)
+
+                # --- terminate depth-limited paths, regenerate ---
+                term = live & (flag == 2)
+                l0 = jnp.where(term, l0 + s0, l0)
+                l1 = jnp.where(term, l1 + s1, l1)
+                l2 = jnp.where(term, l2 + s2, l2)
+                s0 = jnp.where(term, zero, s0)
+                s1 = jnp.where(term, zero, s1)
+                s2 = jnp.where(term, zero, s2)
+                sample = jnp.where(term, sample + 1, sample)
+                regen0 = term & (sample < nf)
+                nx, ny = _noise_rows(sample, nb0, nb1, iscal)
+                pox, poy, poz, pdx, pdy, pdz = _primary_rows(
+                    u_row, v_row, nx, ny, fscal)
+                ox = jnp.where(regen0, pox, ox)
+                oy = jnp.where(regen0, poy, oy)
+                oz = jnp.where(regen0, poz, oz)
+                dx = jnp.where(regen0, pdx, dx)
+                dy = jnp.where(regen0, pdy, dy)
+                dz = jnp.where(regen0, pdz, dz)
+                t0 = jnp.where(regen0, one, t0)
+                t1 = jnp.where(regen0, one, t1)
+                t2 = jnp.where(regen0, one, t2)
+                bounce = jnp.where(regen0, 1, bounce)
+
+                # --- trace to the next surface event ---
+                inflight = sample < nf
+                bound0 = jnp.where(inflight, t_max, neg_inf)
+                ix = one / dx
+                iy = one / dy
+                iz = one / dz
+                bt, btri = _closest_tile_sweep(
+                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
+                    start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                    num_supers=num_supers,
+                )
+                hit = inflight & (btri >= 0)
+                miss = inflight & (btri < 0)
+
+                # --- miss: sky, flush, regenerate ---
+                skyr, skyg, skyb = _sky_rows(dx, dy, dz, fscal)
+                s0 = jnp.where(miss, s0 + t0 * skyr, s0)
+                s1 = jnp.where(miss, s1 + t1 * skyg, s1)
+                s2 = jnp.where(miss, s2 + t2 * skyb, s2)
+                l0 = jnp.where(miss, l0 + s0, l0)
+                l1 = jnp.where(miss, l1 + s1, l1)
+                l2 = jnp.where(miss, l2 + s2, l2)
+                s0 = jnp.where(miss, zero, s0)
+                s1 = jnp.where(miss, zero, s1)
+                s2 = jnp.where(miss, zero, s2)
+                sample = jnp.where(miss, sample + 1, sample)
+                regen = miss & (sample < nf)
+                nx, ny = _noise_rows(sample, nb0, nb1, iscal)
+                pox, poy, poz, pdx, pdy, pdz = _primary_rows(
+                    u_row, v_row, nx, ny, fscal)
+                ox = jnp.where(regen, pox, ox)
+                oy = jnp.where(regen, poy, oy)
+                oz = jnp.where(regen, poz, oz)
+                dx = jnp.where(regen, pdx, dx)
+                dy = jnp.where(regen, pdy, dy)
+                dz = jnp.where(regen, pdz, dz)
+                t0 = jnp.where(regen, one, t0)
+                t1 = jnp.where(regen, one, t1)
+                t2 = jnp.where(regen, one, t2)
+                bounce = jnp.where(regen, 1, bounce)
+
+                # --- hit: in-kernel shade. Unconditional for the same
+                # reason as the NEE sweep: hit rounds dominate the shaded
+                # phases, and a pl.when guard plus scratch round-trip costs
+                # more than the all-miss rounds it would skip. All outputs
+                # are hit-masked inside _shade_rows.
+                (flag, ox, oy, oz, dx, dy, dz, t0, t1, t2, bounce,
+                 sox, soy, soz, sdx, sdy, sdz, c0, c1, c2) = _shade_rows(
+                    hit, sample, bounce,
+                    ox, oy, oz, dx, dy, dz, t0, t1, t2,
+                    nb0, nb1, btri,
+                    fscal, iscal, desc_ref, attr_buf, tex_buf,
+                    num_textures,
+                )
+
+                cont = jnp.where(
+                    jnp.sum(jnp.where(sample < nf, 1, 0)) > floor, 1, 0
+                ).astype(jnp.int32)
+                return (sample, bounce, flag, ox, oy, oz, dx, dy, dz,
+                        t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                        sox, soy, soz, sdx, sdy, sdz, c0, c1, c2, cont)
+
+            st = (sample, bounce, flag, ox, oy, oz, dx, dy, dz,
+                  t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                  sox, soy, soz, sdx, sdy, sdz, c0, c1, c2,
+                  jnp.where(
+                      jnp.sum(jnp.where(sample < nf, 1, 0)) > floor, 1, 0
+                  ).astype(jnp.int32))
+            st = jax.lax.while_loop(cond, body, st)
+
+            counters_out[rt, 0, :] = st[0]
+            counters_out[rt, 1, :] = st[1]
+            counters_out[rt, 2, :] = st[2]
+            for r in range(6):
+                ray_out[rt, r, :] = st[3 + r]
+            for r in range(9):
+                shade_out[rt, r, :] = st[9 + r]
+            for r in range(9):
+                nee_out[rt, r, :] = st[18 + r]
+            return 0
+
+        jax.lax.fori_loop(0, rt_count, per_tile, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("tile_override",))
+def pallas_trace_regen_shaded(
+    scene, camera, sky, u, v_tex, noise_base, inv_dims, frame_base, spp_dyn,
+    num_frames_dyn, num_bounces_dyn, live_floor_dyn, t_max,
+    sample, bounce, flag, origin, direction, thr, srad, lrad,
+    shadow_o, shadow_d, contrib,
+    tile_override=None,
+):
+    """Run the path loop in one persistent kernel dispatch with IN-KERNEL
+    shading (see _make_shaded_path_kernel). State arguments mirror
+    pallas_trace_regen. Each ray tile loops until its live-lane count drops
+    to live_floor_dyn (0 = every sample exhausted) — a nonzero floor lets
+    the caller compact the surviving deep-tail lanes across tiles and
+    re-enter, the in-kernel analog of the split loop's phased compaction.
+    Returns the full lane state (sample, bounce, flag, origin, direction,
+    thr, srad, lrad, shadow_o, shadow_d, contrib)."""
+    num_rays = u.shape[0]
+    tile, rt = tile_override or _pick_tile(scene.cluster_tris.shape[0])
+    # The attribute gather lane-shuffles against (rows, 128) tables, so ray
+    # tiles are fixed at 128 lanes here (the divergence-tuned default).
+    assert tile == 128, "in-kernel shading runs at 128-lane ray tiles"
+    padded = -(-num_rays // (tile * rt)) * (tile * rt)
+    pad = padded - num_rays
+
+    def pad1(a, value):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((pad,) + a.shape[1:], value, a.dtype)])
+
+    nf_big = jnp.int32(2**30)
+    u_p = pad1(u, 0.5)
+    v_p = pad1(v_tex, 0.5)
+    nb_p = pad1(noise_base, 0.0)
+    sample_p = pad1(sample, nf_big)
+    bounce_p = pad1(bounce, 1)
+    flag_p = pad1(flag, 0)
+    o_p = pad1(origin, 1e30)
+    d_p = pad1(direction, 1.0)
+    thr_p = pad1(thr, 0.0)
+    srad_p = pad1(srad, 0.0)
+    lrad_p = pad1(lrad, 0.0)
+    so_p = pad1(shadow_o, 1e30)
+    sd_p = pad1(shadow_d, 1.0)
+    c_p = pad1(contrib, 0.0)
+    sample_p = jnp.minimum(sample_p, num_frames_dyn)
+
+    tiles = padded // tile
+    counters = _pack_rows([sample_p, bounce_p, flag_p], tiles, tile)
+    rays = _pack_rows(
+        [o_p[:, 0], o_p[:, 1], o_p[:, 2], d_p[:, 0], d_p[:, 1], d_p[:, 2]],
+        tiles, tile,
+    )
+    shade = _pack_rows(
+        [thr_p[:, 0], thr_p[:, 1], thr_p[:, 2],
+         srad_p[:, 0], srad_p[:, 1], srad_p[:, 2],
+         lrad_p[:, 0], lrad_p[:, 1], lrad_p[:, 2]],
+        tiles, tile,
+    )
+    pix = _pack_rows([u_p, v_p, nb_p[:, 0], nb_p[:, 1]], tiles, tile)
+    nee = _pack_rows(
+        [so_p[:, 0], so_p[:, 1], so_p[:, 2],
+         sd_p[:, 0], sd_p[:, 1], sd_p[:, 2],
+         c_p[:, 0], c_p[:, 1], c_p[:, 2]],
+        tiles, tile,
+    )
+
+    fscal = _pack_fscal(camera, sky, t_max, inv_dims)
+    iscal = jnp.stack([
+        jnp.asarray(frame_base, jnp.int32),
+        jnp.asarray(spp_dyn, jnp.int32),
+        jnp.asarray(num_frames_dyn, jnp.int32),
+        jnp.asarray(num_bounces_dyn, jnp.int32),
+        jnp.asarray(live_floor_dyn, jnp.int32),
+    ])
+
+    grouped, tables, start_spec, scratch = _walk_tables_and_specs(scene)
+    assert not grouped, "in-kernel shading is a flat-sweep (small-scene) path"
+    table, starts, super_min, super_max, cl_planes = tables
+    num_supers = table.shape[0]
+    leaf = scene.cluster_tris.shape[1]
+
+    attrs, tex_planes, desc = _shade_tables(scene)
+    num_textures = desc.shape[0]
+
+    def full(shape):
+        zeros = tuple(0 for _ in shape)
+        return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
+
+    scratch_shapes = scratch(num_supers, tile) + [
+        pltpu.VMEM(attrs.shape, jnp.float32),
+        pltpu.VMEM(tex_planes.shape, jnp.bfloat16),
+    ]
+
+    outs = pl.pallas_call(
+        _make_shaded_path_kernel(leaf, num_supers, rt, num_textures),
+        grid=(tiles // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 6, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 4, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # texture descriptors
+            start_spec,
+            full(super_min.shape),
+            full(super_max.shape),
+            full(cl_planes.shape),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # triangle table (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # attr splits (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # texel planes (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 6, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, 3, tile), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, 6, tile), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 9, tile), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 9, tile), jnp.float32),
+        ],
+        scratch_shapes=scratch_shapes,
+        interpret=_interpret(),
+    )(counters, rays, shade, pix, nee, fscal, iscal, desc, starts, super_min,
+      super_max, cl_planes, table, attrs, tex_planes)
+
+    counters_o, rays_o, shade_o, nee_o = outs
+
+    def unpack(block, ch):
+        return block[:, ch, :].reshape(-1)[:num_rays]
+
+    def unpack3(block, base):
+        return jnp.stack([unpack(block, base + a) for a in range(3)], axis=1)
+
+    return (
+        unpack(counters_o, 0),            # sample
+        unpack(counters_o, 1),            # bounce
+        unpack(counters_o, 2),            # flag
+        unpack3(rays_o, 0),               # origin
+        unpack3(rays_o, 3),               # direction
+        unpack3(shade_o, 0),              # thr
+        unpack3(shade_o, 3),              # srad
+        unpack3(shade_o, 6),              # lrad
+        unpack3(nee_o, 0),                # shadow_o
+        unpack3(nee_o, 3),                # shadow_d
+        unpack3(nee_o, 6),                # contrib
+    )

@@ -601,14 +601,21 @@ def accumulate_samples_regen(
         busy = sample < nf
         idx = jnp.nonzero(busy, size=size, fill_value=0)[0].astype(jnp.int32)
         valid = jnp.arange(size, dtype=jnp.int32) < jnp.sum(busy.astype(jnp.int32))
-        take = lambda a: a[idx]  # noqa: E731
-        sample = jnp.where(valid, take(sample), nf)  # padding slots are dead
-        pix = take(pix) if pix is not None else idx
+        ints = [sample, bounce] + ([pix] if pix is not None else [])
+        (
+            (origin, direction, thr, srad, noise, cur_u, cur_v, cur_nb),
+            taken_i,
+        ) = _take_packed(
+            idx,
+            [origin, direction, thr, srad, noise, cur_u, cur_v, cur_nb],
+            ints,
+        )
+        sample, bounce = taken_i[0], taken_i[1]
+        sample = jnp.where(valid, sample, nf)  # padding slots are dead
+        pix = taken_i[2] if pix is not None else idx
         pix = jnp.where(valid, pix, jnp.int32(batch))  # out of range -> drop
-        cur_u, cur_v, cur_nb = take(cur_u), take(cur_v), take(cur_nb)
         state = (
-            sample, take(bounce), take(origin), take(direction),
-            take(thr), take(srad), lrad, take(noise),
+            sample, bounce, origin, direction, thr, srad, lrad, noise,
         )
         body = make_phase(cur_u, cur_v, cur_nb, pix)
 
@@ -629,6 +636,239 @@ def _regen_sort_enabled(scene) -> bool:
     if mode == "auto":
         return scene.cluster_tris.shape[0] > SORT_THRESHOLD
     return mode == "1"
+
+
+# In-kernel shading (ops/pallas_regen.pallas_trace_regen_shaded): "1" opts
+# in for small flat scenes whose shade tables fit the VMEM budget. Default
+# OFF: measured on the Duck bench (v5e, 2026-08-17) the in-kernel loop
+# reaches 45.4 Mrays/s vs 49.4 for the split kernel + XLA shade — the
+# per-round costs are sync-bound at 128-lane tiles for BOTH designs, the
+# split path's XLA shade is already amortized inside its fused dispatch
+# (~4.6us/tile-iter), and the in-kernel tail (222ms) loses to the split
+# loop's compacted lockstep tail (90ms). Phase profile in
+# prof/prof_inkernel.py. Kept as an engine option: the design wins where
+# the XLA boundary is pricier (and is the template for a big-scene variant
+# with windowed attribute DMAs).
+def _inkernel_enabled(scene) -> bool:
+    if os.environ.get("RAYFINDER_INKERNEL", "0") != "1":
+        return False
+    from ..ops.pallas_regen import inkernel_shade_ok
+
+    small = scene.cluster_tris.shape[0] <= SORT_THRESHOLD
+    return small and inkernel_shade_ok(scene)
+
+
+def _accumulate_regen_inkernel(
+    scene, sky, camera, frame_base, accum, *,
+    u, v_tex, noise_base_full, inv_dims, noise_of, primary,
+    num_bounces, spp, num_frames, compact_floor=None,
+):
+    """Hybrid accumulation around the in-kernel-shaded path kernel
+    (ops/pallas_regen._make_shaded_path_kernel):
+
+      * phase 0 — the split kernel at big sync-amortizing tiles plus ONE XLA
+        shade, exactly like _accumulate_regen_fused's full-width phase: one
+        call consumes every leading miss segment (the sky-dominated bulk,
+        measured ~90% of Duck segments) at the tile size that phase wants
+        (all-in-kernel at 128-lane tiles benched 25.7 vs 49.4 Mrays/s — the
+        sky rounds are sync-bound and want 1024 lanes, but the shade's
+        one-hot intermediates scale with lane count and blow VMEM there);
+      * then the surviving lanes (hit-segment work) compact once and the
+        SHADED kernel finishes every remaining sample in ONE dispatch at the
+        divergence-tuned tile size — no more XLA shade steps, no per-segment
+        kernel round-trips, no hit-lane idling (measured: the split loop
+        spends 76 iterations x ~7ms here).
+
+    Per-lane arithmetic order matches the split loop; the only deviations
+    are FMA/fusion reassociation (tests budget it) and the same phase-end
+    scatter-add regrouping the split path already has."""
+    from ..ops.pallas_regen import pallas_trace_regen, pallas_trace_regen_shaded
+
+    batch = u.shape[0]
+    nf = jnp.int32(num_frames)
+    spp_dyn = jnp.int32(spp)
+    nb_dyn = jnp.int32(num_bounces)
+    sun_dir = jnp.asarray(sky.sun_direction)
+    solar_radiance = jnp.asarray(sky.solar_radiances)
+    park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
+    z3 = jnp.zeros((batch, 3), jnp.float32)
+
+    shade_tiles = None
+    if os.environ.get("RAYFINDER_SHADE_TILE"):
+        ft = int(os.environ["RAYFINDER_SHADE_TILE"])
+        shade_tiles = (ft, max(1, 4096 // ft))
+
+    sample0 = jnp.zeros((batch,), jnp.int32)
+    noise0 = noise_of(noise_base_full, sample0)
+    o0, d0 = primary(u, v_tex, noise0)
+    state = (
+        sample0,
+        jnp.ones((batch,), jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+        o0,
+        d0,
+        jnp.ones((batch, 3), jnp.float32),
+        z3,
+        accum,  # lane == pixel in phase 0: exact accumulation grouping
+        jnp.broadcast_to(park, (batch, 3)),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), (batch, 3)),
+        z3,
+    )
+
+    floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
+    sizes = _phase_sizes(batch, floor)
+    if len(sizes) < 2:
+        # Tiny batches (tests): run everything in the shaded kernel.
+        (sample, bounce, flag, origin, direction, thr, srad, lrad,
+         sh_o, sh_d, contrib) = state
+        out = pallas_trace_regen_shaded(
+            scene, camera, sky, u, v_tex, noise_base_full, inv_dims,
+            frame_base, spp_dyn, nf, nb_dyn, jnp.int32(0), T_MAX,
+            sample, bounce, flag, origin, direction, thr, srad, lrad,
+            sh_o, sh_d, contrib, tile_override=shade_tiles,
+        )
+        return out[7]
+
+    # --- phase 0: split kernel + XLA shade until the live count fits the
+    # first compaction level (one iteration in practice: the first call
+    # consumes all leading misses and the survivors are the hit lanes).
+    small_scene = scene.cluster_tris.shape[0] <= SORT_THRESHOLD
+    ft = _FULL_TILE
+    full_tiles = (ft, 4096 // ft) if (small_scene and batch >= 4096) else None
+
+    def body(st):
+        (sample, bounce, flag, origin, direction, thr, srad, lrad,
+         sh_o, sh_d, contrib) = st
+        (sample, bounce, origin, direction, thr, srad, lrad, _t, tri
+         ) = pallas_trace_regen(
+            scene, camera, sky, u, v_tex, noise_base_full, inv_dims,
+            frame_base, spp_dyn, nf, T_MAX,
+            sample, bounce, flag, origin, direction, thr, srad, lrad,
+            sh_o, sh_d, contrib, tile_override=full_tiles,
+        )
+        live = sample < nf
+        noise = noise_of(noise_base_full, sample)
+        (flag, origin, direction, thr, bounce, sh_o, sh_d, contrib
+         ) = _nee_and_continuation(
+            scene, noise, origin, direction, tri, thr, bounce, live,
+            sun_dir, solar_radiance, park, num_bounces,
+        )
+        return (sample, bounce, flag, origin, direction, thr, srad, lrad,
+                sh_o, sh_d, contrib)
+
+    size = sizes[1]
+
+    def above(st):
+        return jnp.sum((st[0] < nf).astype(jnp.int32)) > jnp.int32(size)
+
+    state = jax.lax.while_loop(above, body, state)
+
+    (sample, bounce, flag, origin, direction, thr, srad, lrad,
+     sh_o, sh_d, contrib) = state
+    lrad_full = lrad
+    busy = sample < nf
+    idx = jnp.nonzero(busy, size=size, fill_value=0)[0].astype(jnp.int32)
+    valid = jnp.arange(size, dtype=jnp.int32) < jnp.sum(busy.astype(jnp.int32))
+    pix = jnp.where(valid, idx, jnp.int32(batch))  # out of range -> drop
+    (
+        (origin, direction, thr, srad, sh_o, sh_d, contrib,
+         cur_u, cur_v, cur_nb),
+        (sample, bounce, flag),
+    ) = _take_packed(
+        idx,
+        [origin, direction, thr, srad, sh_o, sh_d, contrib,
+         u, v_tex, noise_base_full],
+        [sample, bounce, flag],
+    )
+    state = (
+        jnp.where(valid, sample, nf), bounce, flag,
+        origin, direction, thr, srad,
+        jnp.zeros((size, 3), jnp.float32),
+        sh_o, sh_d, contrib,
+    )
+
+    # --- shaded phases: each call runs every tile down to a live floor
+    # (the in-kernel analog of the split loop's phased compaction — a
+    # floor of 0 would leave the deep-bounce tail spread across every
+    # tile, each paying full-width rounds for a few live lanes), then the
+    # survivors compact across tiles and re-enter. The last call drains
+    # everything (floor 0).
+    cur = size
+    for nxt in sizes[2:]:
+        per_tile_floor = max(0, nxt // max(1, cur // 128))
+        state = pallas_trace_regen_shaded(
+            scene, camera, sky, cur_u, cur_v, cur_nb,
+            inv_dims, frame_base, spp_dyn, nf, nb_dyn,
+            jnp.int32(per_tile_floor), T_MAX,
+            *state, tile_override=shade_tiles,
+        )
+        (sample, bounce, flag, origin, direction, thr, srad, lrad,
+         sh_o, sh_d, contrib) = state
+        lrad_full = lrad_full.at[pix].add(lrad, mode="drop")
+        busy = sample < nf
+        idx = jnp.nonzero(busy, size=nxt, fill_value=0)[0].astype(jnp.int32)
+        valid = jnp.arange(nxt, dtype=jnp.int32) < jnp.sum(
+            busy.astype(jnp.int32)
+        )
+        (
+            (origin, direction, thr, srad, sh_o, sh_d, contrib,
+             cur_u, cur_v, cur_nb),
+            (sample, bounce, flag, pix),
+        ) = _take_packed(
+            idx,
+            [origin, direction, thr, srad, sh_o, sh_d, contrib,
+             cur_u, cur_v, cur_nb],
+            [sample, bounce, flag, pix],
+        )
+        pix = jnp.where(valid, pix, jnp.int32(batch))
+        state = (
+            jnp.where(valid, sample, nf), bounce, flag,
+            origin, direction, thr, srad,
+            jnp.zeros((nxt, 3), jnp.float32),
+            sh_o, sh_d, contrib,
+        )
+        cur = nxt
+
+    state = pallas_trace_regen_shaded(
+        scene, camera, sky, cur_u, cur_v, cur_nb,
+        inv_dims, frame_base, spp_dyn, nf, nb_dyn, jnp.int32(0), T_MAX,
+        *state, tile_override=shade_tiles,
+    )
+    return lrad_full.at[pix].add(state[7], mode="drop")
+
+
+def _take_packed(idx, float_arrs, int_arrs):
+    """Compaction gather: pack every state column into ONE matrix and gather
+    once. TPU gathers are row-count bound, not byte bound — the per-array
+    form costs ~7.6 ms PER ARRAY at bench shapes (49152 rows from a 480K
+    source, measured), so a phase compaction's ~14 takes were ~110 ms of
+    pure gather; packed it is one. int arrays ride as bitcast f32 columns.
+
+    Returns (floats, ints) with the input structures (1-D arrays stay 1-D).
+    """
+    cols = []
+    fspec = []
+    for a in float_arrs:
+        a2 = a if a.ndim == 2 else a[:, None]
+        fspec.append((a.ndim, a2.shape[1]))
+        cols.append(a2)
+    ispec = []
+    for a in int_arrs:
+        a2 = a if a.ndim == 2 else a[:, None]
+        ispec.append((a.ndim, a2.shape[1]))
+        cols.append(jax.lax.bitcast_convert_type(a2, jnp.float32))
+    packed = jnp.concatenate(cols, axis=1)[idx]
+    out_f, out_i = [], []
+    base = 0
+    for ndim, w in fspec:
+        sl = packed[:, base:base + w]
+        out_f.append(sl[:, 0] if ndim == 1 else sl)
+        base += w
+    for ndim, w in ispec:
+        sl = jax.lax.bitcast_convert_type(packed[:, base:base + w], jnp.int32)
+        out_i.append(sl[:, 0] if ndim == 1 else sl)
+        base += w
+    return out_f, out_i
 
 
 def _nee_and_continuation(
@@ -697,6 +937,15 @@ def _accumulate_regen_fused(
 
     if _regen_sort_enabled(scene):
         return _accumulate_regen_fused_sorted(
+            scene, sky, camera, frame_base, accum,
+            u=u, v_tex=v_tex, noise_base_full=noise_base_full,
+            inv_dims=inv_dims, noise_of=noise_of, primary=primary,
+            num_bounces=num_bounces, spp=spp, num_frames=num_frames,
+            compact_floor=compact_floor,
+        )
+
+    if _inkernel_enabled(scene):
+        return _accumulate_regen_inkernel(
             scene, sky, camera, frame_base, accum,
             u=u, v_tex=v_tex, noise_base_full=noise_base_full,
             inv_dims=inv_dims, noise_of=noise_of, primary=primary,
@@ -786,15 +1035,25 @@ def _accumulate_regen_fused(
         busy = sample < nf
         idx = jnp.nonzero(busy, size=size, fill_value=0)[0].astype(jnp.int32)
         valid = jnp.arange(size, dtype=jnp.int32) < jnp.sum(busy.astype(jnp.int32))
-        take = lambda a: a[idx]  # noqa: E731
-        sample = jnp.where(valid, take(sample), nf)
-        pix = take(pix) if pix is not None else idx
+        ints = [sample, bounce, flag] + ([pix] if pix is not None else [])
+        (
+            (origin, direction, thr, srad, sh_o, sh_d, contrib,
+             cur_u, cur_v, cur_nb),
+            taken_i,
+        ) = _take_packed(
+            idx,
+            [origin, direction, thr, srad, sh_o, sh_d, contrib,
+             cur_u, cur_v, cur_nb],
+            ints,
+        )
+        sample, bounce, flag = taken_i[0], taken_i[1], taken_i[2]
+        sample = jnp.where(valid, sample, nf)
+        pix = taken_i[3] if pix is not None else idx
         pix = jnp.where(valid, pix, jnp.int32(batch))  # out of range -> drop
-        cur_u, cur_v, cur_nb = take(cur_u), take(cur_v), take(cur_nb)
         state = (
-            sample, take(bounce), take(flag), take(origin), take(direction),
-            take(thr), take(srad), jnp.zeros((size, 3), jnp.float32),
-            take(sh_o), take(sh_d), take(contrib),
+            sample, bounce, flag, origin, direction,
+            thr, srad, jnp.zeros((size, 3), jnp.float32),
+            sh_o, sh_d, contrib,
         )
         body = make_body(cur_u, cur_v, cur_nb)
 
@@ -941,14 +1200,21 @@ def _accumulate_regen_fused_sorted(
         busy = sample < nf
         idx = jnp.nonzero(busy, size=size, fill_value=0)[0].astype(jnp.int32)
         valid = jnp.arange(size, dtype=jnp.int32) < jnp.sum(busy.astype(jnp.int32))
-        take = lambda a: a[idx]  # noqa: E731
+        (
+            (origin, direction, thr, srad, sh_o, sh_d, contrib, uu, vv, nb),
+            (sample, bounce, flag, pix),
+        ) = _take_packed(
+            idx,
+            [origin, direction, thr, srad, sh_o, sh_d, contrib, uu, vv, nb],
+            [sample, bounce, flag, pix],
+        )
         state = (
-            jnp.where(valid, take(sample), nf),
-            take(bounce), take(flag), take(origin), take(direction),
-            take(thr), take(srad), jnp.zeros((size, 3), jnp.float32),
-            take(sh_o), take(sh_d), take(contrib),
-            take(uu), take(vv), take(nb),
-            jnp.where(valid, take(pix), jnp.int32(batch)),  # out of range -> drop
+            jnp.where(valid, sample, nf),
+            bounce, flag, origin, direction,
+            thr, srad, jnp.zeros((size, 3), jnp.float32),
+            sh_o, sh_d, contrib,
+            uu, vv, nb,
+            jnp.where(valid, pix, jnp.int32(batch)),  # out of range -> drop
         )
         body = make_body()
 

@@ -193,3 +193,46 @@ def test_fused_regen_sorted(duck_device_scene, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(wave), rtol=2e-4, atol=1e-5
     )
+
+
+def test_inkernel_shade_matches_split(duck_device_scene, monkeypatch):
+    """The in-kernel-shaded kernel (pallas_trace_regen_shaded) must reproduce
+    the split kernel + XLA shade loop: the one-hot bf16-split attribute
+    gather and texel matmul-gather are exact and the shade arithmetic mirrors
+    _nee_and_continuation op-for-op. Residual differences are FMA/fusion
+    reassociation between the two compilation paths (measured max 2e-5
+    relative on ~5% of pixels) — far inside the 1e-3 RMSE contract.
+    jax.clear_caches() forces a retrace so the same shape re-reads
+    RAYFINDER_INKERNEL."""
+    import jax
+
+    w, h, spp, nb = 48, 40, 4, 3
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.3, 2.5, 70.0, w / h)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=nb, spp=spp, num_frames=spp)
+
+    from rayfinder_tpu.render import pathtracer as pt
+
+    monkeypatch.setenv("RAYFINDER_INKERNEL", "1")
+    assert pt._inkernel_enabled(duck_device_scene)
+    jax.clear_caches()
+    inker = np.asarray(accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="pallas", **kw,
+    ))
+    # Phased hybrid (split phase 0 + floor-chained shaded calls): force
+    # compaction with a tiny floor.
+    hybrid = np.asarray(accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="pallas",
+        compact_floor=128, **kw,
+    ))
+    monkeypatch.setenv("RAYFINDER_INKERNEL", "0")
+    jax.clear_caches()
+    split = np.asarray(accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="pallas", **kw,
+    ))
+    np.testing.assert_allclose(inker, split, rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(hybrid, split, rtol=1e-4, atol=2e-3)
