@@ -185,18 +185,19 @@ def _next_row(entry, bt):
 #  * per-group front-to-back selection runs entirely vectorized — per-lane
 #    argmin over the (clusters, TILE) entry table, then a segmented (8-lane)
 #    argmin via masked lane rolls; ONE scalar sync per iteration, as before;
-#  * each group's cluster rows are fetched with an MXU MATMUL-GATHER:
-#    onehot(selected row)(S, TILE) contracted against a TRANSPOSED table
-#    (9, L, S) gives per-lane triangle data (L, TILE) — no scalar extraction,
-#    no dynamic indexing on the hot loads;
+#  * each group's cluster rows are fetched with a tpu.dynamic_gather LANE
+#    SHUFFLE of the TRANSPOSED table (9, L, G): per-lane triangle data
+#    (L, TILE) with no scalar extraction and no dynamic indexing on the hot
+#    loads. (Originally an f32 one-hot MXU matmul-gather — WRONG on real
+#    TPU, where f32 matmuls decompose into bf16 passes; see _gather_rows_T.)
 #  * the Möller-Trumbore block runs with TRIS ON SUBLANES, rays staying on
 #    lanes: (L, TILE) ops, the same VPU volume as the flat (TILE, L) block.
 #
 # A group whose lanes are all bounded selects row 0 spuriously; testing it is
 # harmless (any true intersection below the bound is a valid accept; slab
 # pruning is only an optimization) and its lanes' erases touch only rows it
-# no longer needs. Cluster starts ride as an f32 row matmul-gathered like the
-# vertices (exact for leaf-order indices < 2^24).
+# no longer needs. Cluster starts ride as an f32 row lane-shuffled like the
+# vertices (exact for leaf-order indices < 2^24 in f32).
 # ---------------------------------------------------------------------------
 
 # Clusters per super in the grouped layout: 128 keeps the transposed table's
@@ -254,16 +255,24 @@ def _seg_select(masked):
     return jb, jnp.min(m)
 
 
-def _gather_rows_T(tbufT, onehot, rows):
-    """Matmul-gather: tbufT (R, L, S) x onehot (S, TILE) -> per-lane rows
-    [(L, TILE)] for the requested R indices."""
-    return [
-        jax.lax.dot_general(
-            tbufT[r], onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for r in rows
-    ]
+def _gather_rows_T(tbufT, jb, rows):
+    """Per-lane row fetch: tpu.dynamic_gather lane shuffle of the transposed
+    table (R, L, G) by each lane's selected cluster jb (1, TILE) -> per-lane
+    rows [(L, TILE)].
+
+    This REPLACED an f32 one-hot MXU matmul-gather: Mosaic decomposes f32
+    matmuls into bf16 passes, so the "gather" silently rounded its values —
+    measured on v5e (777-cluster scene, 4096 rays): only 2.9% of hits
+    returned the right triangle index (cluster starts ~73K need 17+ bits;
+    vertex f32s need 24). The lane shuffle is exact and drops the one-hot
+    build plus ten MXU passes per selection round. Requires G == 128 (the
+    grouped layout always pads the DMA'd lane dim to 128)."""
+    l = tbufT.shape[1]
+    assert jb.shape[1] == tbufT.shape[2], (
+        "grouped gather needs TILE == the table lane dim (128)"
+    )
+    idx = jnp.broadcast_to(jb, (l, jb.shape[1]))
+    return [jnp.take_along_axis(tbufT[r], idx, axis=1) for r in rows]
 
 
 def _mt_block_T(v, ox, oy, oz, dx, dy, dz, t_bound):
@@ -326,13 +335,13 @@ def _closest_tile_sweep_grouped(
             cl_planes_ref[s, 0], cl_planes_ref[s, 1],
             ox, oy, oz, ix, iy, iz, bt,
         )
-        # Selection runs over the (possibly shrunk) entry rows; the onehot
+        # Selection runs over the (possibly shrunk) entry rows; the gather
         # spans the 128-aligned DMA'd table lanes (jb always < group_sel).
         group_sel = cl_planes_ref.shape[-1]
-        group_dma = tbufT.shape[-1]
-        row_io = jax.lax.broadcasted_iota(jnp.int32, (group_dma, tile), 0)
         row_io_sel = jax.lax.broadcasted_iota(jnp.int32, (group_sel, tile), 0)
-        starts_row = startf_ref[s, 0:1, :]  # (1, G_dma)
+        # (8, G_dma): Mosaic's dynamic_gather lowering rejects sublane dim 1,
+        # so shuffle the full 8-row padded block and read row 0.
+        starts_rows = startf_ref[s]
 
         masked = jnp.where(cl_entry[:, :] < bt[None, :], cl_entry[:, :], jnp.inf)
         jb0, key0 = _seg_select(masked)
@@ -342,13 +351,11 @@ def _closest_tile_sweep_grouped(
 
         def g_body(st):
             bt, btri, jb, _ = st
-            onehot = (row_io == jb).astype(jnp.float32)
-            v = _gather_rows_T(tbufT, onehot, range(9))
+            v = _gather_rows_T(tbufT, jb, range(9))
             t_cand, slot = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bt)
-            start_lane = jax.lax.dot_general(
-                starts_row, onehot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[0]  # (TILE,)
+            start_lane = jnp.take_along_axis(
+                starts_rows, jnp.broadcast_to(jb, starts_rows.shape), axis=1
+            )[0]
             better = t_cand < bt
             tri = start_lane.astype(jnp.int32) + slot
             bt = jnp.where(better, t_cand, bt)
@@ -413,8 +420,6 @@ def _any_tile_sweep_grouped(
             ox, oy, oz, ix, iy, iz, pending_bound(occ),
         )
         group_sel = cl_planes_ref.shape[-1]
-        group_dma = tbufT.shape[-1]
-        row_io = jax.lax.broadcasted_iota(jnp.int32, (group_dma, tile), 0)
         row_io_sel = jax.lax.broadcasted_iota(jnp.int32, (group_sel, tile), 0)
         masked = jnp.where(
             cl_entry[:, :] < pending_bound(occ)[None, :], cl_entry[:, :], jnp.inf
@@ -426,8 +431,7 @@ def _any_tile_sweep_grouped(
 
         def g_body(st):
             occ, jb, _ = st
-            onehot = (row_io == jb).astype(jnp.float32)
-            v = _gather_rows_T(tbufT, onehot, range(9))
+            v = _gather_rows_T(tbufT, jb, range(9))
             t_cand, _ = _mt_block_T(
                 v, ox, oy, oz, dx, dy, dz, pending_bound(occ)
             )
