@@ -211,6 +211,12 @@ SUPER_G = int(os.environ.get("RAYFINDER_SUPER_G", "128"))
 # per-lane selection wins big (same per-iteration cost, far fewer
 # iterations), so 1 is the default.
 _SUB = int(os.environ.get("RAYFINDER_SUB", "1"))
+# Per-lane clusters tested per grouped while-iteration (like _SWEEP_K for
+# the flat sweeps). TPU A/B (courtyard, 2026-08-17, post-shuffle-gather):
+# K=2 benches 3.02 vs 3.20 Mrays/s at K=1 — the wasted trailing test round
+# (gather + MT + selection pass) outweighs the saved sync, the same
+# balance the pair sweep measured. Default 1.
+_GROUP_K = int(os.environ.get("RAYFINDER_GROUP_K", "1"))
 
 
 def _grouped_mode(num_clusters: int) -> bool:
@@ -350,22 +356,26 @@ def _closest_tile_sweep_grouped(
             return jnp.isfinite(st[3])
 
         def g_body(st):
-            bt, btri, jb, _ = st
-            v = _gather_rows_T(tbufT, jb, range(9))
-            t_cand, slot = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bt)
-            start_lane = jnp.take_along_axis(
-                starts_rows, jnp.broadcast_to(jb, starts_rows.shape), axis=1
-            )[0]
-            better = t_cand < bt
-            tri = start_lane.astype(jnp.int32) + slot
-            bt = jnp.where(better, t_cand, bt)
-            btri = jnp.where(better, tri, btri)
-            cl_entry[:, :] = jnp.where(row_io_sel == jb, jnp.inf, cl_entry[:, :])
-            masked = jnp.where(
-                cl_entry[:, :] < bt[None, :], cl_entry[:, :], jnp.inf
-            )
-            jb_n, key_n = _seg_select(masked)
-            return bt, btri, jb_n, key_n
+            bt, btri, jb, key = st
+            for _ in range(_GROUP_K):
+                v = _gather_rows_T(tbufT, jb, range(9))
+                t_cand, slot = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bt)
+                start_lane = jnp.take_along_axis(
+                    starts_rows, jnp.broadcast_to(jb, starts_rows.shape),
+                    axis=1,
+                )[0]
+                better = t_cand < bt
+                tri = start_lane.astype(jnp.int32) + slot
+                bt = jnp.where(better, t_cand, bt)
+                btri = jnp.where(better, tri, btri)
+                cl_entry[:, :] = jnp.where(
+                    row_io_sel == jb, jnp.inf, cl_entry[:, :]
+                )
+                masked = jnp.where(
+                    cl_entry[:, :] < bt[None, :], cl_entry[:, :], jnp.inf
+                )
+                jb, key = _seg_select(masked)
+            return bt, btri, jb, key
 
         bt, btri, _, _ = jax.lax.while_loop(
             g_cond, g_body, (bt, btri, jb0, key0)
@@ -430,19 +440,22 @@ def _any_tile_sweep_grouped(
             return jnp.isfinite(st[2])
 
         def g_body(st):
-            occ, jb, _ = st
-            v = _gather_rows_T(tbufT, jb, range(9))
-            t_cand, _ = _mt_block_T(
-                v, ox, oy, oz, dx, dy, dz, pending_bound(occ)
-            )
-            occ = jnp.where(jnp.isfinite(t_cand), jnp.int32(1), occ)
-            cl_entry[:, :] = jnp.where(row_io_sel == jb, jnp.inf, cl_entry[:, :])
-            masked = jnp.where(
-                cl_entry[:, :] < pending_bound(occ)[None, :],
-                cl_entry[:, :], jnp.inf,
-            )
-            jb_n, key_n = _seg_select(masked)
-            return occ, jb_n, key_n
+            occ, jb, key = st
+            for _ in range(_GROUP_K):
+                v = _gather_rows_T(tbufT, jb, range(9))
+                t_cand, _ = _mt_block_T(
+                    v, ox, oy, oz, dx, dy, dz, pending_bound(occ)
+                )
+                occ = jnp.where(jnp.isfinite(t_cand), jnp.int32(1), occ)
+                cl_entry[:, :] = jnp.where(
+                    row_io_sel == jb, jnp.inf, cl_entry[:, :]
+                )
+                masked = jnp.where(
+                    cl_entry[:, :] < pending_bound(occ)[None, :],
+                    cl_entry[:, :], jnp.inf,
+                )
+                jb, key = _seg_select(masked)
+            return occ, jb, key
 
         occ, _, _ = jax.lax.while_loop(g_cond, g_body, (occ, jb0, key0))
         return occ
