@@ -1116,6 +1116,11 @@ def _accumulate_regen_fused_sorted(
                 tile_override=tile_override,
             )
             live = sample < nf
+            # (A direction-aware key — tri*16 + the scatter's noise-derived
+            # tangent cell — benched EXACTLY neutral on the courtyard,
+            # 3.198 vs 3.199 Mrays/s: per-lane selection already tests only
+            # what each lane needs, and regrouping did not move the
+            # per-tile max. Keep the plain hit-tri key.)
             order = jnp.argsort(
                 jnp.where(live, tri, dead_key), stable=True
             )
