@@ -18,7 +18,11 @@ import numpy as np
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("scene", type=pathlib.Path, help=".glb/.gltf or .pt scene")
+    parser.add_argument(
+        "scene", type=pathlib.Path,
+        help=".glb/.gltf or .pt scene, or procedural:courtyard[:subdiv] "
+        "(the built-in Sponza-scale interior; subdiv 26 = 254K tris)",
+    )
     parser.add_argument("-o", "--output", type=pathlib.Path, default=pathlib.Path("render.png"))
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--height", type=int, default=480)
@@ -49,7 +53,19 @@ def main(argv=None) -> int:
     from ..sky.model import sky_state_from_ui
     from ..utils.image import write_png
 
-    scene = load_device_scene(args.scene)
+    scene_arg = str(args.scene)
+    if scene_arg.startswith("procedural:"):
+        from ..render.scene import build_device_scene
+        from ..scene.procedural import courtyard_scene
+
+        parts = scene_arg.split(":")
+        if parts[1] != "courtyard":
+            parser.error(f"unknown procedural scene {parts[1]!r}")
+        subdiv = int(parts[2]) if len(parts) > 2 else 8
+        flat, textures = courtyard_scene(subdiv)
+        scene = build_device_scene(flat, textures=textures)
+    else:
+        scene = load_device_scene(args.scene)
     print(f"scene: {scene.num_triangles} triangles, {scene.num_nodes} BVH nodes")
 
     if args.camera_origin is None or args.camera_look_at is None:
