@@ -127,6 +127,130 @@ def render_step_sharded(
     )(accum, ys, xs)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "width", "height", "num_bounces", "spp", "num_frames",
+        "engine",
+    ),
+    donate_argnums=(5,),
+)
+def render_step_sharded_regen(
+    scene: DeviceScene,
+    sky: SkyState,
+    camera: Camera,
+    blue_noise_tile,
+    frame_base,
+    accum,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    num_bounces: int,
+    spp: int,
+    num_frames: int,
+    engine: str = "pallas",
+):
+    """Sharded persistent-wavefront step: every chip runs the SAME fused
+    regen pipeline as a single chip (render/pathtracer.accumulate_lanes_regen
+    — path regeneration, phased compaction, the persistent Pallas path
+    kernel) over its pixel shard, tracing num_frames/samples_axis consecutive
+    samples; the samples axis then psums partial radiance over ICI.
+
+    Pixels ride in BLOCK-MAJOR order (render/tiling.block_order) so each
+    shard holds whole 32x16 pixel blocks and the ray-tile coherence that the
+    traversal kernels depend on survives sharding; unswizzle once at image
+    assembly. accum: (P_padded, 3) block-ordered, sharded over tiles.
+
+    Per-pixel f32 grouping: each device's partial starts from zero and the
+    psum adds device partials in a fixed order, so multi-chip sums can
+    differ from single-chip by the usual f32 regrouping ulps (the same
+    budget the compacted phases already carry)."""
+    from ..render.tiling import block_order
+
+    samples_axis = mesh.shape["samples"]
+    assert num_frames % samples_axis == 0
+    nf_local = num_frames // samples_axis
+
+    ys_np, xs_np, _ = block_order(width, height)
+    ys = jnp.asarray(ys_np)
+    xs = jnp.asarray(xs_np)
+    pad = accum.shape[0] - width * height
+    ys = jnp.pad(ys, (0, pad))
+    xs = jnp.pad(xs, (0, pad))
+    u_full = (xs.astype(jnp.float32) + 0.5) / jnp.float32(width)
+    v_full = (ys.astype(jnp.float32) + 0.5) / jnp.float32(height)
+    th, tw = blue_noise_tile.shape[0], blue_noise_tile.shape[1]
+    nb_full = blue_noise_tile[ys % th, xs % tw]
+    inv_dims = jnp.float32(1.0) / jnp.asarray([width, height], jnp.float32)
+
+    from ..render.pathtracer import accumulate_lanes_regen
+
+    def local_step(accum_shard, u_shard, v_shard, nb_shard):
+        sample_rank = jax.lax.axis_index("samples")
+        local_base = frame_base + sample_rank * nf_local
+        partial_r = accumulate_lanes_regen(
+            scene, sky, camera, local_base,
+            jnp.zeros_like(accum_shard), u_shard, v_shard, nb_shard,
+            inv_dims, num_bounces=num_bounces, spp=spp,
+            num_frames=nf_local, engine=engine,
+        )
+        return accum_shard + jax.lax.psum(partial_r, "samples")
+
+    return shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("tiles"), P("tiles"), P("tiles"), P("tiles")),
+        out_specs=P("tiles"),
+        **{_VMA_KWARG: engine != "pallas"},
+    )(accum, u_full, v_full, nb_full)
+
+
+def render_image_sharded_regen(
+    scene: DeviceScene,
+    sky: SkyState,
+    camera: Camera,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spp: int,
+    num_bounces: int,
+    exposure: float = 1.0,
+    engine: str = "pallas",
+    samples_per_dispatch: int | None = None,
+) -> np.ndarray:
+    """Full sharded render on the FAST path: each step runs the fused regen
+    pipeline per chip (render_step_sharded_regen). Returns (H, W, 3)."""
+    from ..render.rng import blue_noise_tile
+    from ..render.tiling import unswizzle
+    from ..render.tonemap import tonemap
+
+    tiles = mesh.shape["tiles"]
+    samples_axis = mesh.shape["samples"]
+    spd = samples_per_dispatch or spp
+    spd = max(samples_axis, (spd // samples_axis) * samples_axis)
+    assert spp % samples_axis == 0
+
+    num_pixels = width * height
+    padded = -(-num_pixels // tiles) * tiles
+    accum = jnp.zeros((padded, 3), jnp.float32)
+    tile = jnp.asarray(blue_noise_tile())
+
+    frame_base = 0
+    while frame_base < spp:
+        batch = min(spd, spp - frame_base)
+        accum = render_step_sharded_regen(
+            scene, sky, camera, tile, jnp.int32(frame_base), accum,
+            mesh=mesh, width=width, height=height, num_bounces=num_bounces,
+            spp=spp, num_frames=batch, engine=engine,
+        )
+        frame_base += batch
+    estimator = unswizzle(accum[:num_pixels], width, height) / jnp.float32(spp)
+    img = tonemap(estimator, exposure)
+    return np.asarray(img).reshape(height, width, 3)
+
+
 def render_image_sharded(
     scene: DeviceScene,
     sky: SkyState,

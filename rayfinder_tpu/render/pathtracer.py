@@ -443,8 +443,6 @@ def accumulate_samples_regen(
     starts from `accum` and adds one finished sample at a time, in sample
     order — compaction never reorders a single pixel's additions).
     """
-    closest, any_hit = get_engine(engine)
-    from .rng import _A1, _A2
     from .tiling import block_order
 
     ys_np, xs_np, _ = block_order(width, height)
@@ -452,8 +450,6 @@ def accumulate_samples_regen(
     xs = jnp.asarray(xs_np)
     u = (xs.astype(jnp.float32) + 0.5) / jnp.float32(width)
     v_tex = (ys.astype(jnp.float32) + 0.5) / jnp.float32(height)
-    batch = u.shape[0]
-    nf = jnp.int32(num_frames)
 
     # The blue-noise tile value is a pure function of the pixel: gather ONCE
     # per dispatch; per-sample noise is that base plus the frame's R2 offset
@@ -462,6 +458,40 @@ def accumulate_samples_regen(
     noise_base_full = blue_noise_tile[ys % th, xs % tw]  # (B, 2)
 
     inv_dims = jnp.float32(1.0) / jnp.asarray([width, height], jnp.float32)
+    return accumulate_lanes_regen(
+        scene, sky, camera, frame_base, accum, u, v_tex, noise_base_full,
+        inv_dims, num_bounces=num_bounces, spp=spp, num_frames=num_frames,
+        engine=engine, compact_floor=compact_floor,
+    )
+
+
+def accumulate_lanes_regen(
+    scene: DeviceScene,
+    sky: SkyState,
+    camera: Camera,
+    frame_base,
+    accum,
+    u,
+    v_tex,
+    noise_base_full,
+    inv_dims,
+    *,
+    num_bounces: int,
+    spp: int,
+    num_frames: int,
+    engine: str = "pallas",
+    compact_floor: int | None = None,
+):
+    """Lane-level regen accumulation: the body of accumulate_samples_regen
+    for an ARBITRARY set of lanes described by per-lane pixel data (u, v_tex,
+    noise base). This is the shard-friendly entry — the multi-chip render
+    step (parallel/sharding.py) calls it per pixel shard so every chip runs
+    the same fused persistent-wavefront pipeline as a single chip."""
+    closest, any_hit = get_engine(engine)
+    from .rng import _A1, _A2
+
+    batch = u.shape[0]
+    nf = jnp.int32(num_frames)
     sun_dir = jnp.asarray(sky.sun_direction)
     solar_radiance = jnp.asarray(sky.solar_radiances)
     park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)

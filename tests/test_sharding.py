@@ -83,3 +83,50 @@ def test_sharded_pallas_engine_matches_wavefront(duck_device_scene):
     np.testing.assert_allclose(
         np.asarray(out_p), np.asarray(out_w), rtol=1e-5, atol=1e-6
     )
+
+
+def test_sharded_regen_matches_single_chip(duck_device_scene):
+    """The FAST multi-chip path — per-shard fused regen accumulation +
+    psum over the samples axis (render_image_sharded_regen) — must match
+    the single-chip progressive render within the f32 psum-regrouping
+    budget."""
+    from rayfinder_tpu.parallel.sharding import render_image_sharded_regen
+
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 4 / 3)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    w, h, spp = 32, 16, 4
+
+    single = render_image(
+        duck_device_scene, sky, cam,
+        width=w, height=h, sampling=SamplingParams(spp, 2),
+        exposure=0.25, engine="pallas",
+    )
+    mesh = make_render_mesh(jax.devices()[:8], sample_parallel=2)
+    sharded = render_image_sharded_regen(
+        duck_device_scene, sky, cam,
+        mesh=mesh, width=w, height=h, spp=spp, num_bounces=2,
+        exposure=0.25, engine="pallas",
+    )
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-3)
+
+
+def test_sharded_regen_tile_only_mesh(duck_device_scene):
+    """samples axis 1: pure pixel sharding, no psum contribution mixing."""
+    from rayfinder_tpu.parallel.sharding import render_image_sharded_regen
+
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 2.0)
+    sky = sky_state_from_ui(2.0, (0.5, 0.5, 0.5), 45.0, 10.0)
+    w, h, spp = 32, 16, 2
+
+    single = render_image(
+        duck_device_scene, sky, cam,
+        width=w, height=h, sampling=SamplingParams(spp, 3),
+        exposure=0.25, engine="pallas",
+    )
+    mesh = make_render_mesh(jax.devices()[:4], sample_parallel=1)
+    sharded = render_image_sharded_regen(
+        duck_device_scene, sky, cam,
+        mesh=mesh, width=w, height=h, spp=spp, num_bounces=3,
+        exposure=0.25, engine="pallas",
+    )
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-3)
