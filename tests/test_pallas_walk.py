@@ -84,10 +84,12 @@ def test_pallas_multi_super_scene():
 
 
 def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
-    """The grouped (per-8-lane-group selection, matmul-gather) sweeps must
-    return exactly the flat sweeps' results — same MT numerics, only the
-    cluster visit order differs. Covers the single-super fast path (Duck)
-    and the multi-super outer loop (courtyard slice) for both kernels."""
+    """The grouped (per-lane selection, dynamic_gather lane-shuffle) sweeps
+    must return exactly the flat sweeps' results — same MT numerics, only
+    the cluster visit order differs. Covers the single-super fast path
+    (Duck) and the multi-super outer loop (courtyard slice) for both
+    kernels. NOTE: interpret-mode equality cannot catch TPU-side gather
+    inexactness; prof/check_grouped_exact.py is the on-device check."""
     import jax.numpy as jnp
     from rayfinder_tpu.ops import pallas_walk as pw
     from rayfinder_tpu.render.scene import build_device_scene
