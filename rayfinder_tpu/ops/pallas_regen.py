@@ -14,6 +14,13 @@ the XLA wavefront (texturing/NEE need HBM gathers the kernel cannot do).
 One kernel dispatch therefore consumes every consecutive missing sample of
 every lane, and the outer loop only runs once per HIT segment.
 
+A second kernel variant (_make_shaded_path_kernel / pallas_trace_regen_shaded)
+keeps hit segments on-chip too: surface interaction, texture albedo, NEE
+light sampling and the cosine-weighted scatter all run in-kernel via exact
+dynamic_gather / bf16-matmul gathers. It benches slightly behind the split
+loop on the Duck bench (see render/pathtracer._inkernel_enabled for the
+measured story), so it is opt-in (RAYFINDER_INKERNEL=1).
+
 Numerics: the sky evaluation matches sky/model.sky_radiance_dist
 (reference src/hw-skymodel/hw_skymodel.c:182-223, wgsl:247-275) except that
 Mosaic has no acos lowering, so gamma/theta use an Abramowitz-Stegun 4.4.45
