@@ -17,7 +17,8 @@ from rayfinder_tpu.scene.procedural import courtyard_scene
 from rayfinder_tpu.sky.model import sky_state_from_ui
 
 W, H, NF, BOUNCES = 512, 512, int(os.environ.get("RAYFINDER_BENCH_SAMPLES", "16")), 4
-flat, textures = courtyard_scene(26)
+flat, textures = courtyard_scene(
+    26, textured=os.environ.get("RAYFINDER_COURT_TEXTURED") == "1")
 scene = build_device_scene(flat, textures=textures)
 print("tris:", flat.positions.shape[0], "clusters:", scene.cluster_tris.shape[0])
 camera = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, W / H)

@@ -52,9 +52,11 @@ def _box(center, half, subdiv: int) -> np.ndarray:
     )
 
 
-def courtyard_scene(subdiv: int = 8):
+def courtyard_scene(subdiv: int = 8, textured: bool = False):
     """Build (FlattenedScene, textures). Triangle count scales ~ subdiv^2:
-    subdiv=8 → ~25K tris, subdiv=26 → ~262K tris (Sponza-sized)."""
+    subdiv=8 → ~25K tris, subdiv=26 → ~262K tris (Sponza-sized).
+    textured=True swaps the solid 1x1 base colors for procedural 256x256
+    checker/brick textures (Sponza-class texture-gather load)."""
     chunks: list[np.ndarray] = []
     materials: list[int] = []
 
@@ -94,6 +96,11 @@ def courtyard_scene(subdiv: int = 8):
     uvs = positions[:, :, :2].copy()
     uvs -= uvs.min(axis=(0, 1))
     uvs /= max(uvs.max(), 1.0)
+    if textured:
+        # ~1 texture repeat per 5 world units (fract-wrapped at lookup,
+        # like the reference's UV handling) so the checker/brick patterns
+        # read at courtyard scale.
+        uvs *= 8.0
 
     flat = FlattenedScene(
         positions=positions,
@@ -101,10 +108,43 @@ def courtyard_scene(subdiv: int = 8):
         tex_coords=uvs.astype(np.float32),
         texture_indices=np.asarray(materials, dtype=np.uint32),
     )
-    textures = [
-        Texture.from_pixel(0.65, 0.6, 0.55, 1.0),  # floor
-        Texture.from_pixel(0.75, 0.72, 0.68, 1.0),  # walls
-        Texture.from_pixel(0.8, 0.78, 0.7, 1.0),  # columns
-        Texture.from_pixel(0.55, 0.35, 0.2, 1.0),  # crates
-    ]
+    if textured:
+        textures = [
+            _checker_texture(256, (0.72, 0.66, 0.58), (0.5, 0.46, 0.42), 16),
+            _brick_texture(256, (0.78, 0.74, 0.7), (0.6, 0.57, 0.54)),
+            _brick_texture(128, (0.84, 0.82, 0.74), (0.7, 0.68, 0.6)),
+            _checker_texture(128, (0.6, 0.38, 0.2), (0.44, 0.27, 0.14), 8),
+        ]
+    else:
+        textures = [
+            Texture.from_pixel(0.65, 0.6, 0.55, 1.0),  # floor
+            Texture.from_pixel(0.75, 0.72, 0.68, 1.0),  # walls
+            Texture.from_pixel(0.8, 0.78, 0.7, 1.0),  # columns
+            Texture.from_pixel(0.55, 0.35, 0.2, 1.0),  # crates
+        ]
     return flat, textures
+
+
+def _pack_bgra(rgb: np.ndarray) -> "Texture":
+    """(h, w, 3) float [0,1] -> BGRA u32 Texture."""
+    u8 = np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint32)
+    bgra = (u8[..., 2] | (u8[..., 1] << np.uint32(8))
+            | (u8[..., 0] << np.uint32(16)) | np.uint32(255 << 24))
+    h, w = rgb.shape[:2]
+    return Texture(bgra.reshape(-1).astype(np.uint32), width=w, height=h)
+
+
+def _checker_texture(size: int, a, b, cells: int) -> "Texture":
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    mask = ((yy * cells // size) + (xx * cells // size)) % 2
+    rgb = np.where(mask[..., None] == 0, np.asarray(a), np.asarray(b))
+    return _pack_bgra(rgb.astype(np.float64))
+
+
+def _brick_texture(size: int, brick, mortar) -> "Texture":
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    rows = yy * 8 // size
+    xoff = (xx + (rows % 2) * (size // 8)) % size
+    in_mortar = ((yy * 8 % size) < size // 16) | ((xoff * 4 % size) < size // 16)
+    rgb = np.where(in_mortar[..., None], np.asarray(mortar), np.asarray(brick))
+    return _pack_bgra(rgb.astype(np.float64))

@@ -22,15 +22,16 @@ from rayfinder_tpu.sky.model import sky_state_from_ui
 from rayfinder_tpu.utils.image import write_png
 
 CONFIGS = {
-    "1080p32": (1920, 1080, 32, "courtyard_1080p_32spp.png"),
-    "1080p8": (1920, 1080, 8, "courtyard_1080p_8spp.png"),
-    "720p16": (1280, 720, 16, "courtyard_720p_16spp.png"),
+    "1080p32": (1920, 1080, 32, "courtyard_1080p_32spp.png", False),
+    "1080p8": (1920, 1080, 8, "courtyard_1080p_8spp.png", False),
+    "720p16": (1280, 720, 16, "courtyard_720p_16spp.png", False),
+    "tex720p16": (1280, 720, 16, "courtyard_textured_720p_16spp.png", True),
 }
 
 which = sys.argv[1] if len(sys.argv) > 1 else "1080p32"
-w, h, spp, name = CONFIGS[which]
+w, h, spp, name, textured = CONFIGS[which]
 
-flat, textures = courtyard_scene(26)
+flat, textures = courtyard_scene(26, textured=textured)
 print("tris:", flat.positions.shape[0])
 scene = build_device_scene(flat, textures=textures)
 camera = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, w / h)
