@@ -3,17 +3,22 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measures steady-state rays/second of the wavefront path tracer at 800x600
-with the reference's renderer defaults (4 bounces). Rays counted as the
-reference's instrumentation would: one closest-hit ray per bounce segment
-plus one NEE shadow ray per surface hit. vs_baseline is relative to the
-driver's north-star target of 200 Mrays/s/chip (BASELINE.md) — the reference
-itself publishes no numbers.
+with the reference's renderer defaults (4 bounces). Rays are counted
+EXACTLY: the regen loop accumulates an int32 [closest, shadow] segment
+counter (pathtracer count_rays — one closest-hit segment per bounce-loop
+iteration plus one NEE shadow ray per surface hit, the same accounting the
+reference's megakernel implies, reference_path_tracer.wgsl:180-234).
+vs_baseline is relative to the driver's north-star target of 200
+Mrays/s/chip (BASELINE.md) — the reference itself publishes no numbers.
 
-The measurement runs in a CHILD process so that a TPU worker fault on the
-fast path (Pallas kernels through the axon tunnel) cannot take down the
-benchmark: the parent falls back engine-by-engine (pallas -> wavefront) and
-prints the first successful child's JSON line. A value of 0.0 means no
-engine survived (e.g. the tunnel is down).
+Robustness (the axon TPU tunnel has outages measured in hours, CLAUDE.md):
+  * the measurement runs in a CHILD process so a TPU worker fault cannot
+    take down the benchmark; the parent falls back engine-by-engine
+    (pallas -> wavefront);
+  * the parent RETRIES on a budget (default 60 min, RAYFINDER_BENCH_BUDGET_S)
+    — probing the tunnel cheaply between attempts — instead of giving up
+    after one probe. A value of 0.0 means no attempt inside the budget
+    survived (the tunnel stayed down).
 """
 
 from __future__ import annotations
@@ -33,7 +38,6 @@ import numpy as np
 DUCK = "/root/reference/assets/Duck.glb"
 WIDTH, HEIGHT = 800, 600
 BOUNCES = 4
-WARMUP_SAMPLES = 2
 TIMED_SAMPLES = int(os.environ.get("RAYFINDER_BENCH_SAMPLES", "64"))
 TARGET_MRAYS = 200.0
 
@@ -46,7 +50,6 @@ def main() -> None:
     from rayfinder_tpu.render.pathtracer import accumulate_samples_regen
     from rayfinder_tpu.render.rng import blue_noise_tile
     from rayfinder_tpu.render.scene import load_device_scene
-    from rayfinder_tpu.render.wavefront import intersect_closest_wavefront
     from rayfinder_tpu.sky.model import sky_state_from_ui
 
     scene = load_device_scene(DUCK)
@@ -72,29 +75,37 @@ def main() -> None:
             spp=256,
             num_frames=n,
             engine=os.environ.get("RAYFINDER_ENGINE", "pallas"),
+            count_rays=True,
         )
 
     # block_until_ready is unreliable through the axon tunnel (returns while
     # work is still queued); fence with a jitted scalar reduction + host fetch.
     fence = jax.jit(lambda a: jnp.sum(a))
 
-    accum = step(0, accum, TIMED_SAMPLES)  # warmup batch (also compiles)
+    accum, _ = step(0, accum, TIMED_SAMPLES)  # warmup batch (also compiles)
     float(fence(accum))
 
     t0 = time.time()
-    accum = step(TIMED_SAMPLES, accum, TIMED_SAMPLES)
+    accum, rays = step(TIMED_SAMPLES, accum, TIMED_SAMPLES)
     float(fence(accum))
     dt = time.time() - t0
 
-    # Count useful rays the way the megakernel traces them: per sample and
-    # pixel, one closest-hit segment per live bounce plus one NEE shadow ray
-    # per surface hit. Live fractions estimated geometrically from the
-    # primary-hit rate h: closest = sum_{b<B} h^b, shadow = sum_{1<=b<=B} h^b.
-    h = _primary_hit_rate(scene, camera)
-    closest_rays = sum(h**b for b in range(BOUNCES))
-    shadow_rays = sum(h**b for b in range(1, BOUNCES + 1))
-    total_rays = WIDTH * HEIGHT * TIMED_SAMPLES * (closest_rays + shadow_rays)
+    closest, shadow = (int(x) for x in np.asarray(rays))
+    total_rays = closest + shadow
     mrays = total_rays / dt / 1e6
+
+    # Diagnostic only (stderr): measured counts vs the old geometric-series
+    # model from the primary hit rate, for the record.
+    h = _primary_hit_rate(scene, camera)
+    model = (
+        WIDTH * HEIGHT * TIMED_SAMPLES
+        * (sum(h**b for b in range(BOUNCES)) + sum(h**b for b in range(1, BOUNCES + 1)))
+    )
+    print(
+        f"rays measured={total_rays} (closest={closest} shadow={shadow}) "
+        f"model={model:.0f} model/measured={model / total_rays:.4f} dt={dt:.3f}s",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(
@@ -150,39 +161,72 @@ def _fail_line() -> str:
     )
 
 
-def _parent() -> None:
-    if not _probe_device():
-        print(_fail_line())
-        return
-    # An explicit RAYFINDER_ENGINE is tried first; the XLA wavefront engine
-    # remains the fallback so a fast-path fault still yields a measurement.
+def _try_engines(deadline: float) -> str | None:
+    """One pass over the engine ladder; returns the child's JSON line or
+    None. An explicit RAYFINDER_ENGINE is tried first; the XLA wavefront
+    engine remains the fallback so a fast-path fault still yields a
+    measurement."""
     engines = [os.environ.get("RAYFINDER_ENGINE", "pallas")]
     if "wavefront" not in engines:
         engines.append("wavefront")
     for i, engine in enumerate(engines):
+        remaining = deadline - time.time()
+        if remaining < 120.0:
+            return None
         env = dict(os.environ)
         env["RAYFINDER_BENCH_CHILD"] = "1"
         env["RAYFINDER_ENGINE"] = engine
+        t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
                 capture_output=True,
                 text=True,
-                timeout=3000.0,
+                timeout=min(2400.0, remaining),
                 env=env,
             )
         except subprocess.TimeoutExpired:
             r = None
+        print(
+            f"bench: engine={engine} child "
+            f"{'timed out' if r is None else f'exited {r.returncode}'} "
+            f"after {time.time() - t0:.0f}s",
+            file=sys.stderr,
+        )
         if r is not None:
+            sys.stderr.write(r.stderr or "")
             for line in (r.stdout or "").splitlines():
                 line = line.strip()
                 if line.startswith("{") and '"metric"' in line:
-                    print(line)
-                    return
+                    return line
         if i + 1 < len(engines):
             # Child died or hung (worker fault?): give the TPU a moment
             # before the fallback engine tries to attach.
             time.sleep(30.0)
+    return None
+
+
+def _parent() -> None:
+    budget = float(os.environ.get("RAYFINDER_BENCH_BUDGET_S", "3600"))
+    deadline = time.time() + budget
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        remaining = deadline - time.time()
+        print(
+            f"bench: attempt {attempt}, {remaining:.0f}s of budget left",
+            file=sys.stderr,
+        )
+        if not _probe_device(timeout_s=min(300.0, max(60.0, remaining))):
+            # Tunnel down or hung; recovery has been observed to take
+            # minutes to hours. Re-probe on a patient cadence.
+            time.sleep(min(90.0, max(0.0, deadline - time.time())))
+            continue
+        line = _try_engines(deadline)
+        if line is not None:
+            print(line)
+            return
+        time.sleep(min(60.0, max(0.0, deadline - time.time())))
     print(_fail_line())
 
 

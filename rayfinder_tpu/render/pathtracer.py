@@ -399,7 +399,7 @@ def accumulate_samples(
     jax.jit,
     static_argnames=(
         "width", "height", "num_bounces", "spp", "num_frames", "engine",
-        "compact_floor",
+        "compact_floor", "count_rays",
     ),
     donate_argnums=(5,),
 )
@@ -418,6 +418,7 @@ def accumulate_samples_regen(
     num_frames: int,
     engine: str = "pallas",
     compact_floor: int | None = None,
+    count_rays: bool = False,
 ):
     """accumulate_samples with PATH REGENERATION (persistent wavefront, after
     Laine et al. 2013): each lane owns one pixel and traces its `num_frames`
@@ -461,7 +462,7 @@ def accumulate_samples_regen(
     return accumulate_lanes_regen(
         scene, sky, camera, frame_base, accum, u, v_tex, noise_base_full,
         inv_dims, num_bounces=num_bounces, spp=spp, num_frames=num_frames,
-        engine=engine, compact_floor=compact_floor,
+        engine=engine, compact_floor=compact_floor, count_rays=count_rays,
     )
 
 
@@ -481,12 +482,19 @@ def accumulate_lanes_regen(
     num_frames: int,
     engine: str = "pallas",
     compact_floor: int | None = None,
+    count_rays: bool = False,
 ):
     """Lane-level regen accumulation: the body of accumulate_samples_regen
     for an ARBITRARY set of lanes described by per-lane pixel data (u, v_tex,
     noise base). This is the shard-friendly entry — the multi-chip render
     step (parallel/sharding.py) calls it per pixel shard so every chip runs
-    the same fused persistent-wavefront pipeline as a single chip."""
+    the same fused persistent-wavefront pipeline as a single chip.
+
+    count_rays=True additionally returns an exact int32 [closest, shadow]
+    ray-segment count (bench.py instrumentation; the reference counts rays
+    the same way — one closest segment per bounce-loop iteration plus one
+    NEE shadow ray per surface hit, reference_path_tracer.wgsl:180-234).
+    Counting costs two scalar reductions per outer loop iteration."""
     closest, any_hit = get_engine(engine)
     from .rng import _A1, _A2
 
@@ -515,7 +523,7 @@ def accumulate_lanes_regen(
             u=u, v_tex=v_tex, noise_base_full=noise_base_full,
             inv_dims=inv_dims, noise_of=_noise_of, primary=_primary,
             num_bounces=num_bounces, spp=spp, num_frames=num_frames,
-            compact_floor=compact_floor,
+            compact_floor=compact_floor, count_rays=count_rays,
         )
 
     def make_phase(u, v_tex, noise_base, pix):
@@ -531,6 +539,8 @@ def accumulate_lanes_regen(
             return _primary(u, v_tex, noise)
 
         def body(st):
+            if count_rays:
+                *st, cnt = st
             sample, bounce, origin, direction, thr, srad, lrad, noise = st
             live = sample < nf
             origin = jnp.where(live[:, None], origin, park)
@@ -538,6 +548,13 @@ def accumulate_lanes_regen(
             hit, _, tri_idx, _ = closest(scene, origin, direction, T_MAX)
             hit_lane = live & hit
             miss_lane = live & ~hit
+            if count_rays:
+                # Each live lane traces one closest segment this iteration;
+                # each hit lane one NEE shadow ray. Exact by construction.
+                cnt = cnt + jnp.stack([
+                    jnp.sum(live.astype(jnp.int32)),
+                    jnp.sum(hit_lane.astype(jnp.int32)),
+                ])
 
             # --- miss: sky radiance (sun excluded; it arrives via NEE) ---
             theta = jnp.arccos(jnp.clip(direction[:, 1], -1.0, 1.0))
@@ -596,7 +613,8 @@ def accumulate_lanes_regen(
             )
             noise = jnp.where(regen[:, None], noise_new, noise)
             bounce = jnp.where(scatter, bounce + 1, jnp.where(regen, 1, bounce))
-            return sample, bounce, origin, direction, thr, srad, lrad, noise
+            out = (sample, bounce, origin, direction, thr, srad, lrad, noise)
+            return out + (cnt,) if count_rays else out
 
         return body
 
@@ -614,6 +632,8 @@ def accumulate_lanes_regen(
         accum,  # pixel radiance, seeded from accum for exact f32 grouping
         noise0,
     )
+    if count_rays:
+        state = state + (jnp.zeros((2,), jnp.int32),)
 
     floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
     cur_u, cur_v, cur_nb, pix = u, v_tex, noise_base_full, None
@@ -627,6 +647,8 @@ def accumulate_lanes_regen(
 
         # Compact the busy lanes into a `size`-lane batch. nonzero preserves
         # block-major order, so spatial tile coherence survives compaction.
+        if count_rays:
+            *state, cnt = state
         sample, bounce, origin, direction, thr, srad, lrad, noise = state
         busy = sample < nf
         idx = jnp.nonzero(busy, size=size, fill_value=0)[0].astype(jnp.int32)
@@ -647,12 +669,16 @@ def accumulate_lanes_regen(
         state = (
             sample, bounce, origin, direction, thr, srad, lrad, noise,
         )
+        if count_rays:
+            state = state + (cnt,)
         body = make_phase(cur_u, cur_v, cur_nb, pix)
 
     def any_left(st):
         return jnp.any(st[0] < nf)
 
     state = jax.lax.while_loop(any_left, body, state)
+    if count_rays:
+        return state[6], state[-1]
     return state[6]
 
 
@@ -936,10 +962,38 @@ def _nee_and_continuation(
     return flag, origin, direction, thr, bounce, sh_o, sh_d, contrib
 
 
+def _count_wrap(body, flag_index=2):
+    """Wrap a fused-loop body with exact ray accounting. Every surface hit
+    passes through the XLA shade exactly once (the kernel consumes miss
+    segments on-chip and stops lanes only at surface hits), so summing the
+    freshly set flag counts hits H exactly; flag==2 counts samples that
+    terminate WITHOUT a miss segment (depth limit / degenerate scatter), D.
+    Every sample terminates exactly once, so misses M = total_samples - D and
+    closest segments = H + M, shadow rays = H. The counter rides the carry as
+    a trailing (2,) int32 = [H, D]."""
+    def body2(st):
+        *inner, cnt = st
+        out = body(tuple(inner))
+        flag = out[flag_index]
+        hits = jnp.sum((flag > 0).astype(jnp.int32))
+        depth = jnp.sum((flag == 2).astype(jnp.int32))
+        return out + (cnt + jnp.stack([hits, depth]),)
+
+    return body2
+
+
+def _counts_to_rays(cnt, total_samples):
+    """[H, D] -> [closest, shadow] (see _count_wrap). total_samples must fit
+    int32 — true for any single dispatch (a 1080p x 1024spp job overflows but
+    is always split across accumulate calls)."""
+    h, d = cnt[0], cnt[1]
+    return jnp.stack([h + (jnp.int32(total_samples) - d), h])
+
+
 def _accumulate_regen_fused(
     scene, sky, camera, frame_base, accum, *,
     u, v_tex, noise_base_full, inv_dims, noise_of, primary,
-    num_bounces, spp, num_frames, compact_floor,
+    num_bounces, spp, num_frames, compact_floor, count_rays=False,
 ):
     """Fused-path regeneration around the persistent path kernel
     (ops/pallas_regen.pallas_trace_regen).
@@ -971,10 +1025,13 @@ def _accumulate_regen_fused(
             u=u, v_tex=v_tex, noise_base_full=noise_base_full,
             inv_dims=inv_dims, noise_of=noise_of, primary=primary,
             num_bounces=num_bounces, spp=spp, num_frames=num_frames,
-            compact_floor=compact_floor,
+            compact_floor=compact_floor, count_rays=count_rays,
         )
 
-    if _inkernel_enabled(scene):
+    # The opt-in in-kernel-shaded engine flushes whole paths on-chip, so the
+    # exact segment counters below can't observe it; counting runs the split
+    # kernel instead (the engines are sample-for-sample equivalent).
+    if _inkernel_enabled(scene) and not count_rays:
         return _accumulate_regen_inkernel(
             scene, sky, camera, frame_base, accum,
             u=u, v_tex=v_tex, noise_base_full=noise_base_full,
@@ -1044,6 +1101,9 @@ def _accumulate_regen_fused(
     ft = _FULL_TILE
     full_tiles = (ft, 4096 // ft) if (small_scene and batch >= 4096) else None
     body = make_body(u, v_tex, noise_base_full, tile_override=full_tiles)
+    if count_rays:
+        body = _count_wrap(body)
+        state = state + (jnp.zeros((2,), jnp.int32),)
 
     floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
     lrad_full = None
@@ -1054,6 +1114,8 @@ def _accumulate_regen_fused(
 
         state = jax.lax.while_loop(above, body, state)
 
+        if count_rays:
+            *state, cnt = state
         (sample, bounce, flag, origin, direction, thr, srad, lrad,
          sh_o, sh_d, contrib) = state
         # Flush lane radiance to pixels, then compact the busy lanes
@@ -1086,21 +1148,25 @@ def _accumulate_regen_fused(
             sh_o, sh_d, contrib,
         )
         body = make_body(cur_u, cur_v, cur_nb)
+        if count_rays:
+            state = state + (cnt,)
+            body = _count_wrap(body)
 
     def any_left(st):
         return jnp.any(st[0] < nf)
 
     state = jax.lax.while_loop(any_left, body, state)
     lrad = state[7]
-    if pix is None:
-        return lrad
-    return lrad_full.at[pix].add(lrad, mode="drop")
+    out = lrad if pix is None else lrad_full.at[pix].add(lrad, mode="drop")
+    if count_rays:
+        return out, _counts_to_rays(state[-1], batch * num_frames)
+    return out
 
 
 def _accumulate_regen_fused_sorted(
     scene, sky, camera, frame_base, accum, *,
     u, v_tex, noise_base_full, inv_dims, noise_of, primary,
-    num_bounces, spp, num_frames, compact_floor,
+    num_bounces, spp, num_frames, compact_floor, count_rays=False,
 ):
     """_accumulate_regen_fused with PER-ITERATION LANE SORTING: after every
     kernel call the lanes are reordered by the hit-triangle index the kernel
@@ -1218,6 +1284,9 @@ def _accumulate_regen_fused_sorted(
     ft = _FULL_TILE
     full_tiles = (ft, 4096 // ft) if (small_scene and batch >= 4096) else None
     body = make_body(tile_override=full_tiles)
+    if count_rays:
+        body = _count_wrap(body)
+        state = state + (jnp.zeros((2,), jnp.int32),)
 
     floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
     lrad_full = accum
@@ -1227,6 +1296,8 @@ def _accumulate_regen_fused_sorted(
 
         state = jax.lax.while_loop(above, body, state)
 
+        if count_rays:
+            *state, cnt = state
         (sample, bounce, flag, origin, direction, thr, srad, lrad,
          sh_o, sh_d, contrib, uu, vv, nb, pix) = state
         lrad_full = lrad_full.at[pix].add(lrad, mode="drop")
@@ -1252,12 +1323,18 @@ def _accumulate_regen_fused_sorted(
             jnp.where(valid, pix, jnp.int32(batch)),  # out of range -> drop
         )
         body = make_body()
+        if count_rays:
+            state = state + (cnt,)
+            body = _count_wrap(body)
 
     def any_left(st):
         return jnp.any(st[0] < nf)
 
     state = jax.lax.while_loop(any_left, body, state)
-    return lrad_full.at[state[14]].add(state[7], mode="drop")
+    out = lrad_full.at[state[14]].add(state[7], mode="drop")
+    if count_rays:
+        return out, _counts_to_rays(state[-1], batch * num_frames)
+    return out
 
 
 def pick_accumulator(scene: DeviceScene, engine: str):
