@@ -894,7 +894,7 @@ def pallas_trace_regen(
             full(super_min.shape),
             full(super_max.shape),
             full(cl_planes.shape),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # triangle table in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # triangle table in HBM
         ],
         out_specs=[
             pl.BlockSpec((rt, 2, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -1239,9 +1239,9 @@ def pallas_trace_regen_shaded(
             full(super_min.shape),
             full(super_max.shape),
             full(cl_planes.shape),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # triangle table (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # attr splits (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # texel planes (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # triangle table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # attr splits (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # texel planes (HBM)
         ],
         out_specs=[
             pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -9,7 +9,7 @@ kernels reorganize traversal around the TPU's strengths:
   (both spatially coherent: the SAH builder's depth-first leaf order is a
   space-filling walk);
 * the Pallas grid is 1D over groups of RT ray tiles; the triangle table stays
-  in HBM (`pltpu.ANY`) and each tile DMAs in ONLY the supers it needs,
+  in HBM (`pl.ANY`) and each tile DMAs in ONLY the supers it needs,
   nearest-first: per tile, a front-to-back while_loop over supers (selected
   by per-lane slab entry distance against the current best hit) wraps an
   inner front-to-back while_loop over the super's clusters. This is the
@@ -1077,7 +1077,7 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
             _full_spec(super_max.shape),
             _full_spec(cl_planes.shape),
             # The triangle table stays in HBM; supers are DMA'd on demand.
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((rt, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

@@ -66,6 +66,14 @@ class RenderParameters:
             self.exposure,
         )
 
+    def _digest(self) -> str:
+        """Stable checkpoint-integrity key: repr of the key tuple hashed with
+        sha256 (Python's hash() is salted per process and implementation-
+        defined across versions — useless across restarts)."""
+        import hashlib
+
+        return hashlib.sha256(repr(self._key()).encode()).hexdigest()
+
 
 class Renderer:
     """Progressive accumulation renderer over a DeviceScene."""
@@ -162,13 +170,13 @@ class Renderer:
             accum=np.asarray(self._accum),
             accumulated_sample_count=self.accumulated_sample_count,
             frame_count=self.frame_count,
-            params_key=np.asarray(hash(self._params._key()), dtype=np.int64),
+            params_key=np.asarray(self._params._digest()),
         )
 
     def load_checkpoint(self, path) -> None:
         """Resume from a checkpoint; refuses on mismatched render params."""
         with np.load(path) as data:
-            if int(data["params_key"]) != hash(self._params._key()):
+            if str(data["params_key"]) != self._params._digest():
                 raise ValueError(
                     "checkpoint was created with different render parameters"
                 )

@@ -19,9 +19,15 @@ reorganized for a dense vector machine:
 4. No scatters anywhere: reductions stay lane-aligned, which keeps both
    compile time and runtime sane on TPU.
 
-Rays whose AABB overlap count exceeds MAX_CLUSTERS_PER_RAY are reported via
-the returned `overflow` count (exceedingly rare with near-first pruning; the
-capacity is validated in tests/test_wavefront.py).
+Capacity overflow is HANDLED, not just reported: a ray overlapping more than
+MAX_CLUSTERS_PER_RAY cluster AABBs is only *provably* resolved when its best
+hit is nearer than the last kept cluster entry (dropped clusters all enter
+later, and a triangle hit can never be nearer than its cluster's entry t).
+Rays that fail that proof are re-walked at FULL cluster capacity (no
+overflow possible) in compacted sub-batches (_escalate) — results are exact
+for every ray. The returned `overflow` count is the number of escalated
+rays, kept for observability (tests/test_wavefront.py pins it to 0 on Duck
+and exercises the escalation on an enclosed many-cluster scene).
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ from .scene import DeviceScene
 RAY_CHUNK = 65536  # rays traversed per chunk (bounds VMEM/HBM temporaries)
 MAX_CLUSTERS_PER_RAY = 32  # top-k capacity per ray
 _MAX_CULL_ENTRIES = 32 * 1024 * 1024  # cap on the (chunk, C) cull grid
+_ESC_CHUNK = 1024  # unresolved-overflow rays re-walked per escalation step
 
 
 def _ray_chunk(num_clusters: int, num_rays: int | None = None) -> int:
@@ -193,6 +200,39 @@ def _walk_any(scene, origin, direction, t_max, entry, cids):
     return occluded
 
 
+def _escalate(scene, origin, direction, t_max, unresolved, walk, results):
+    """Re-walk `unresolved` rays at FULL cluster capacity (k = num clusters —
+    overflow is impossible), in compacted _ESC_CHUNK-ray sub-batches so the
+    dense (esc, C) cull grid stays small, scattering exact results back into
+    `results` (a tuple of per-ray 1-D arrays). Runs zero iterations when
+    nothing is unresolved."""
+    num_rays = origin.shape[0]
+    num_clusters = scene.cluster_tris.shape[0]
+    esc = min(_ESC_CHUNK, num_rays)
+
+    def cond(st):
+        return jnp.any(st[0])
+
+    def body(st):
+        unresolved, results = st
+        idx = jnp.nonzero(unresolved, size=esc, fill_value=num_rays)[0]
+        idx = idx.astype(jnp.int32)
+        valid = idx < num_rays
+        safe = jnp.minimum(idx, num_rays - 1)
+        o, d, tm = origin[safe], direction[safe], t_max[safe]
+        entry, cids, _ = _order_clusters(scene, o, d, tm, num_clusters)
+        new = walk(o, d, tm, entry, cids)
+        results = tuple(
+            r.at[idx].set(jnp.where(valid, n, r[safe]), mode="drop")
+            for r, n in zip(results, new)
+        )
+        unresolved = unresolved.at[idx].set(False, mode="drop")
+        return unresolved, results
+
+    _, results = jax.lax.while_loop(cond, body, (unresolved, results))
+    return results
+
+
 def _pad_rays(origin, direction, t_max, chunk: int):
     """Pad the ray batch to a chunk multiple with guaranteed-miss rays."""
     num_rays = origin.shape[0]
@@ -215,10 +255,13 @@ def _pad_rays(origin, direction, t_max, chunk: int):
 def intersect_closest_wavefront(
     scene: DeviceScene, origin, direction, t_max, *, top_k: int = MAX_CLUSTERS_PER_RAY
 ):
-    """Closest-hit query. Returns (hit, t, tri_idx, overflow_count).
+    """Closest-hit query. Returns (hit, t, tri_idx, escalated_count).
 
-    overflow_count is the number of rays that overlapped more than top_k
-    cluster AABBs (their result may have missed a far cluster)."""
+    Results are EXACT for every ray: overflowed rays whose best hit is not
+    provably nearer than every dropped cluster (best_t <= last kept entry)
+    are re-walked at full cluster capacity (_escalate). escalated_count
+    reports how many rays needed that (observability; 0 on Duck-class
+    scenes)."""
     num_rays = origin.shape[0]
     num_clusters = scene.cluster_tris.shape[0]
     k = min(top_k, num_clusters)
@@ -230,13 +273,17 @@ def intersect_closest_wavefront(
         o, d, tm = args
         entry, cids, overflow = _order_clusters(scene, o, d, tm, k)
         hit, t, tri = _walk_closest(scene, o, d, tm, entry, cids)
-        return hit, t, tri, jnp.sum(overflow.astype(jnp.int32))
+        # A dropped cluster's entry >= the last kept entry, and a triangle
+        # hit is never nearer than its cluster's entry, so best_t <= last
+        # kept entry proves no dropped cluster can beat it.
+        proven = hit & (t <= entry[:, -1])
+        return hit, t, tri, overflow & ~proven
 
     num_chunks = origin.shape[0] // chunk_size
     if num_chunks == 1:
-        hit, t, tri, overflow = chunk((origin, direction, t_max))
+        hit, t, tri, unresolved = chunk((origin, direction, t_max))
     else:
-        hit, t, tri, overflow = jax.lax.map(
+        hit, t, tri, unresolved = jax.lax.map(
             chunk,
             (
                 origin.reshape(num_chunks, chunk_size, 3),
@@ -247,16 +294,27 @@ def intersect_closest_wavefront(
         hit = hit.reshape(-1)
         t = t.reshape(-1)
         tri = tri.reshape(-1)
-        overflow = jnp.sum(overflow)
+        unresolved = unresolved.reshape(-1)
 
-    return hit[:num_rays], t[:num_rays], tri[:num_rays], overflow
+    escalated = jnp.sum(unresolved.astype(jnp.int32))
+    if k < num_clusters:  # full-capacity walk can't have dropped anything
+        hit, t, tri = _escalate(
+            scene, origin, direction, t_max, unresolved,
+            lambda o, d, tm, e, c: _walk_closest(scene, o, d, tm, e, c),
+            (hit, t, tri),
+        )
+    return hit[:num_rays], t[:num_rays], tri[:num_rays], escalated
 
 
 @partial(jax.jit, static_argnames=("top_k",))
 def intersect_any_wavefront(
     scene: DeviceScene, origin, direction, t_max, *, top_k: int = MAX_CLUSTERS_PER_RAY
 ):
-    """Any-hit (shadow) query. Returns (occluded, overflow_count)."""
+    """Any-hit (shadow) query. Returns (occluded, escalated_count).
+
+    Exact for every ray: an overflowed ray is only provably done when some
+    kept cluster occluded it; unoccluded overflowed rays re-walk at full
+    capacity (a dropped cluster could hide the blocker)."""
     num_rays = origin.shape[0]
     num_clusters = scene.cluster_tris.shape[0]
     k = min(top_k, num_clusters)
@@ -268,13 +326,13 @@ def intersect_any_wavefront(
         o, d, tm = args
         entry, cids, overflow = _order_clusters(scene, o, d, tm, k)
         occluded = _walk_any(scene, o, d, tm, entry, cids)
-        return occluded, jnp.sum(overflow.astype(jnp.int32))
+        return occluded, overflow & ~occluded
 
     num_chunks = origin.shape[0] // chunk_size
     if num_chunks == 1:
-        occluded, overflow = chunk((origin, direction, t_max))
+        occluded, unresolved = chunk((origin, direction, t_max))
     else:
-        occluded, overflow = jax.lax.map(
+        occluded, unresolved = jax.lax.map(
             chunk,
             (
                 origin.reshape(num_chunks, chunk_size, 3),
@@ -283,6 +341,13 @@ def intersect_any_wavefront(
             ),
         )
         occluded = occluded.reshape(-1)
-        overflow = jnp.sum(overflow)
+        unresolved = unresolved.reshape(-1)
 
-    return occluded[:num_rays], overflow
+    escalated = jnp.sum(unresolved.astype(jnp.int32))
+    if k < num_clusters:
+        (occluded,) = _escalate(
+            scene, origin, direction, t_max, unresolved,
+            lambda o, d, tm, e, c: (_walk_any(scene, o, d, tm, e, c),),
+            (occluded,),
+        )
+    return occluded[:num_rays], escalated

@@ -109,3 +109,66 @@ def test_cluster_tri_map_roundtrip(duck_device_scene):
         np.testing.assert_array_equal(blocks[ci, slots], positions[start[ci] + slots])
         covered[start[ci] + slots] = True
     assert covered.all()
+
+
+@pytest.fixture(scope="module")
+def courtyard_device_scene():
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+
+    flat, textures = courtyard_scene(8)  # ~24K tris, enclosed, many clusters
+    return build_device_scene(flat, textures=textures)
+
+
+def test_overflow_escalation_matches_reference(courtyard_device_scene, rng):
+    """Overflow HANDLING (not just reporting): interior rays in the enclosed
+    courtyard overlap far more cluster AABBs than a deliberately tiny top_k,
+    so many rays take the full-capacity escalation walk — results must still
+    agree exactly with the lockstep reference engine. Guards the round-1
+    hazard where overflowed rays could silently miss far clusters."""
+    scene = courtyard_device_scene
+    n = 512
+    o = rng.uniform([-18, 0.5, -9], [18, 10.0, 9], size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = jnp.float32(1e4)
+
+    ref_hit, ref_t, ref_tri, _ = intersect_closest(
+        scene, jnp.asarray(o), jnp.asarray(d), t_max
+    )
+    wf_hit, wf_t, wf_tri, escalated = intersect_closest_wavefront(
+        scene, jnp.asarray(o), jnp.asarray(d), t_max, top_k=4
+    )
+    assert int(escalated) > 0, "test scene failed to trigger escalation"
+    np.testing.assert_array_equal(np.asarray(wf_hit), np.asarray(ref_hit))
+    hits = np.asarray(ref_hit)
+    np.testing.assert_allclose(
+        np.asarray(wf_t)[hits], np.asarray(ref_t)[hits], rtol=2e-6, atol=1e-6
+    )
+    # Triangle ids may differ only where two surfaces race within float
+    # fusion variance (adjacent coplanar quads; |t| already asserted equal
+    # within tolerance above) — never from a dropped cluster, which would
+    # show up as a large t difference or a hit/miss flip.
+    mismatch = hits & (np.asarray(wf_tri) != np.asarray(ref_tri))
+    assert mismatch.sum() <= 0.01 * hits.sum()
+
+    ref_occ = intersect_any(scene, jnp.asarray(o), jnp.asarray(d), t_max)
+    wf_occ, esc_any = intersect_any_wavefront(
+        scene, jnp.asarray(o), jnp.asarray(d), t_max, top_k=4
+    )
+    np.testing.assert_array_equal(np.asarray(wf_occ), np.asarray(ref_occ))
+
+
+def test_default_capacity_rarely_escalates_at_scale(courtyard_device_scene, rng):
+    """At the production top_k the enclosed scene should resolve nearly all
+    rays without escalation (the near-first prune proof does the work); a
+    large escalated fraction would flag a perf regression."""
+    scene = courtyard_device_scene
+    n = 2048
+    o = rng.uniform([-18, 0.5, -9], [18, 10.0, 9], size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _, _, _, escalated = intersect_closest_wavefront(
+        scene, jnp.asarray(o), jnp.asarray(d), jnp.float32(1e4)
+    )
+    assert int(escalated) <= 0.05 * n
