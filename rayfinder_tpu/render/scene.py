@@ -18,6 +18,12 @@ import jax.numpy as jnp
 from ..bvh import Bvh, reorder_attributes
 from ..scene import FlattenedScene, Texture
 
+# Packed-texel-atlas budget, matching the reference's storage-buffer binding
+# limit for its texture buffer (src/pt/reference_path_tracer.cpp:253-263,
+# gpu_limits.hpp maxStorageBufferBindingSize rationale in
+# notes/storage_buffer_binding_size.md).
+MAX_TEXEL_BYTES = 256 * 1024 * 1024
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +95,17 @@ def build_device_scene(
         widths = np.asarray([t.width for t in textures], dtype=np.int32)
         heights = np.asarray([t.height for t in textures], dtype=np.int32)
         sizes = widths.astype(np.int64) * heights
+        total_bytes = int(sizes.sum()) * 4
+        if total_bytes > MAX_TEXEL_BYTES:
+            # Same policy as the reference's packed texel buffer, which
+            # refuses scenes past its storage-binding budget
+            # (reference_path_tracer.cpp:253-263,
+            # notes/storage_buffer_binding_size.md). Keeping the cap also
+            # guarantees the int32 texel offsets below cannot overflow.
+            raise ValueError(
+                f"Texture atlas of {total_bytes} bytes exceeds the "
+                f"{MAX_TEXEL_BYTES} byte limit"
+            )
         offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
         texels = np.concatenate([t.pixels for t in textures]).astype(np.uint32)
     else:

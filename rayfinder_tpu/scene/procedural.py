@@ -55,8 +55,14 @@ def _box(center, half, subdiv: int) -> np.ndarray:
 def courtyard_scene(subdiv: int = 8, textured: bool = False):
     """Build (FlattenedScene, textures). Triangle count scales ~ subdiv^2:
     subdiv=8 → ~25K tris, subdiv=26 → ~262K tris (Sponza-sized).
-    textured=True swaps the solid 1x1 base colors for procedural 256x256
-    checker/brick textures (Sponza-class texture-gather load)."""
+
+    textured=True gives the scene Sponza-class MATERIAL variety: 14 distinct
+    image textures of mixed sizes (64..512 px), each encoded to real PNG
+    bytes and decoded back through Texture.from_memory — the identical code
+    path glTF base-color images take (gltf_model.cpp:74-121 analog) — with
+    per-wall / per-column / per-crate texture assignment so the packed atlas
+    (render/scene.py) sees many offsets live in one render. textured=False
+    keeps the legacy 4 solid 1x1 base colors (cheap engine tests)."""
     chunks: list[np.ndarray] = []
     materials: list[int] = []
 
@@ -64,24 +70,35 @@ def courtyard_scene(subdiv: int = 8, textured: bool = False):
         chunks.append(tris.astype(np.float32))
         materials.extend([material] * tris.shape[0])
 
+    # Material slots: untextured keeps the legacy 4 (floor/walls/columns/
+    # crates); textured fans each group over distinct texture indices.
+    def wall_mat(i):
+        return 1 + (i % 4) if textured else 1
+
+    def col_mat(i):
+        return 5 + (i % 4) if textured else 2
+
+    def crate_mat(i):
+        return 9 + (i % 5) if textured else 3
+
     # Floor 40x20, walls height 12 (interior-facing normals).
     add(_subdivided_quad([-20, 0, -10], [0, 0, 20], [40, 0, 0], 2 * subdiv), 0)
-    add(_subdivided_quad([-20, 0, -10], [40, 0, 0], [0, 12, 0], subdiv), 1)  # -z wall
-    add(_subdivided_quad([-20, 0, 10], [0, 12, 0], [40, 0, 0], subdiv), 1)  # +z wall
-    add(_subdivided_quad([-20, 0, -10], [0, 12, 0], [0, 0, 20], subdiv), 1)  # -x wall
-    add(_subdivided_quad([20, 0, -10], [0, 0, 20], [0, 12, 0], subdiv), 1)  # +x wall
+    add(_subdivided_quad([-20, 0, -10], [40, 0, 0], [0, 12, 0], subdiv), wall_mat(0))  # -z
+    add(_subdivided_quad([-20, 0, 10], [0, 12, 0], [40, 0, 0], subdiv), wall_mat(1))  # +z
+    add(_subdivided_quad([-20, 0, -10], [0, 12, 0], [0, 0, 20], subdiv), wall_mat(2))  # -x
+    add(_subdivided_quad([20, 0, -10], [0, 0, 20], [0, 12, 0], subdiv), wall_mat(3))  # +x
 
     # Two rows of columns.
     rng = np.random.default_rng(42)
-    for x in np.linspace(-16, 16, 9):
-        for z in (-5.0, 5.0):
-            add(_box([x, 4.0, z], [0.6, 4.0, 0.6], subdiv), 2)
+    for ci, x in enumerate(np.linspace(-16, 16, 9)):
+        for zi, z in enumerate((-5.0, 5.0)):
+            add(_box([x, 4.0, z], [0.6, 4.0, 0.6], subdiv), col_mat(2 * ci + zi))
     # Scattered crates.
-    for _ in range(12):
+    for ki in range(12):
         cx = rng.uniform(-17, 17)
         cz = rng.uniform(-8, 8)
         h = rng.uniform(0.5, 1.5)
-        add(_box([cx, h, cz], [h, h, h], subdiv), 3)
+        add(_box([cx, h, cz], [h, h, h], subdiv), crate_mat(ki))
 
     positions = np.concatenate(chunks, axis=0)
     num_tris = positions.shape[0]
@@ -109,12 +126,7 @@ def courtyard_scene(subdiv: int = 8, textured: bool = False):
         texture_indices=np.asarray(materials, dtype=np.uint32),
     )
     if textured:
-        textures = [
-            _checker_texture(256, (0.72, 0.66, 0.58), (0.5, 0.46, 0.42), 16),
-            _brick_texture(256, (0.78, 0.74, 0.7), (0.6, 0.57, 0.54)),
-            _brick_texture(128, (0.84, 0.82, 0.74), (0.7, 0.68, 0.6)),
-            _checker_texture(128, (0.6, 0.38, 0.2), (0.44, 0.27, 0.14), 8),
-        ]
+        textures = courtyard_textures()
     else:
         textures = [
             Texture.from_pixel(0.65, 0.6, 0.55, 1.0),  # floor
@@ -125,26 +137,97 @@ def courtyard_scene(subdiv: int = 8, textured: bool = False):
     return flat, textures
 
 
-def _pack_bgra(rgb: np.ndarray) -> "Texture":
-    """(h, w, 3) float [0,1] -> BGRA u32 Texture."""
-    u8 = np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint32)
-    bgra = (u8[..., 2] | (u8[..., 1] << np.uint32(8))
-            | (u8[..., 0] << np.uint32(16)) | np.uint32(255 << 24))
-    h, w = rgb.shape[:2]
-    return Texture(bgra.reshape(-1).astype(np.uint32), width=w, height=h)
+def courtyard_textures() -> list[Texture]:
+    """The textured courtyard's 14 distinct mixed-size image textures,
+    round-tripped through real PNG bytes (see courtyard_scene docstring).
+    Index layout: 0 floor; 1-4 walls; 5-8 columns; 9-13 crates."""
+    return [
+        # 0: floor — large stone checker
+        _png_texture(_checker_rgb(512, (0.72, 0.66, 0.58), (0.5, 0.46, 0.42), 16)),
+        # 1-4: walls — brick variants, mixed sizes/tints
+        _png_texture(_brick_rgb(512, (0.78, 0.74, 0.7), (0.6, 0.57, 0.54))),
+        _png_texture(_brick_rgb(256, (0.84, 0.82, 0.74), (0.7, 0.68, 0.6))),
+        _png_texture(_brick_rgb(320, (0.75, 0.68, 0.62), (0.55, 0.5, 0.46))),
+        _png_texture(_brick_rgb(192, (0.8, 0.72, 0.66), (0.62, 0.55, 0.5))),
+        # 5-8: columns — marble-ish banded stone
+        _png_texture(_marble_rgb(128, (0.85, 0.83, 0.78), (0.66, 0.64, 0.6), 0)),
+        _png_texture(_marble_rgb(96, (0.82, 0.8, 0.78), (0.6, 0.58, 0.56), 1)),
+        _png_texture(_marble_rgb(160, (0.88, 0.84, 0.76), (0.68, 0.64, 0.56), 2)),
+        _png_texture(_marble_rgb(64, (0.8, 0.78, 0.72), (0.58, 0.56, 0.5), 3)),
+        # 9-13: crates — wood-grain variants
+        _png_texture(_wood_rgb(128, (0.6, 0.4, 0.22), (0.42, 0.26, 0.13), 0)),
+        _png_texture(_wood_rgb(96, (0.55, 0.36, 0.2), (0.38, 0.24, 0.12), 1)),
+        _png_texture(_wood_rgb(256, (0.64, 0.44, 0.26), (0.46, 0.3, 0.16), 2)),
+        _png_texture(_wood_rgb(64, (0.5, 0.33, 0.18), (0.34, 0.21, 0.1), 3)),
+        _png_texture(_checker_rgb(112, (0.6, 0.38, 0.2), (0.44, 0.27, 0.14), 8)),
+    ]
 
 
-def _checker_texture(size: int, a, b, cells: int) -> "Texture":
+def _png_texture(rgb: np.ndarray) -> "Texture":
+    """(h, w, 3) float RGB -> PNG bytes -> Texture.from_memory: exercises the
+    real image-decode path (stbi analog) instead of packing arrays directly."""
+    import io
+
+    from PIL import Image
+
+    u8 = np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(u8).save(buf, format="PNG")
+    return Texture.from_memory(buf.getvalue())
+
+
+def _value_noise(size: int, cells: int, seed: int) -> np.ndarray:
+    """Cheap tileable value noise in [0,1]: a random coarse grid bilinearly
+    upsampled (wrap-around so fract-wrapped UVs don't seam)."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.uniform(size=(cells, cells))
+    y = np.linspace(0, cells, size, endpoint=False)
+    x = np.linspace(0, cells, size, endpoint=False)
+    yi, xi = np.floor(y).astype(int), np.floor(x).astype(int)
+    yf, xf = (y - yi)[:, None], (x - xi)[None, :]
+    c00 = coarse[np.ix_(yi % cells, xi % cells)]
+    c10 = coarse[np.ix_((yi + 1) % cells, xi % cells)]
+    c01 = coarse[np.ix_(yi % cells, (xi + 1) % cells)]
+    c11 = coarse[np.ix_((yi + 1) % cells, (xi + 1) % cells)]
+    return (
+        c00 * (1 - yf) * (1 - xf)
+        + c10 * yf * (1 - xf)
+        + c01 * (1 - yf) * xf
+        + c11 * yf * xf
+    )
+
+
+def _checker_rgb(size: int, a, b, cells: int) -> np.ndarray:
     yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
     mask = ((yy * cells // size) + (xx * cells // size)) % 2
     rgb = np.where(mask[..., None] == 0, np.asarray(a), np.asarray(b))
-    return _pack_bgra(rgb.astype(np.float64))
+    noise = 0.9 + 0.2 * _value_noise(size, 8, seed=size)
+    return rgb * noise[..., None]
 
 
-def _brick_texture(size: int, brick, mortar) -> "Texture":
+def _brick_rgb(size: int, brick, mortar) -> np.ndarray:
     yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
     rows = yy * 8 // size
     xoff = (xx + (rows % 2) * (size // 8)) % size
     in_mortar = ((yy * 8 % size) < size // 16) | ((xoff * 4 % size) < size // 16)
     rgb = np.where(in_mortar[..., None], np.asarray(mortar), np.asarray(brick))
-    return _pack_bgra(rgb.astype(np.float64))
+    noise = 0.88 + 0.24 * _value_noise(size, 16, seed=size + 1)
+    return rgb * noise[..., None]
+
+
+def _marble_rgb(size: int, light, dark, seed: int) -> np.ndarray:
+    yy = np.arange(size)[:, None] / size
+    warp = _value_noise(size, 4, seed=100 + seed)
+    band = 0.5 + 0.5 * np.sin(2 * np.pi * (6 * yy + 1.5 * warp))
+    rgb = np.asarray(light) * band[..., None] + np.asarray(dark) * (1 - band)[..., None]
+    return rgb
+
+
+def _wood_rgb(size: int, light, dark, seed: int) -> np.ndarray:
+    xx = np.arange(size)[None, :] / size
+    warp = _value_noise(size, 6, seed=200 + seed)
+    grain = 0.5 + 0.5 * np.sin(2 * np.pi * (10 * xx + 2.0 * warp))
+    rgb = np.asarray(light) * grain[..., None] + np.asarray(dark) * (1 - grain)[..., None]
+    return rgb
+
+

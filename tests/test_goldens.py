@@ -94,3 +94,42 @@ def test_blue_noise_tool_roundtrip(tmp_path):
     bake_png(png, out)
     with np.load(out) as data:
         np.testing.assert_array_equal(data["tile"], tile)
+
+
+def test_textured_courtyard_matches_golden():
+    """The multi-texture courtyard (14 mixed-size PNG-decoded images through
+    the packed atlas) pinned at 64x48 @ 2spp/3bounce, reference engine.
+    Bake: render with engine="reference" and write_png to the golden path
+    (see /tmp-style snippet in git history of tests/goldens/)."""
+    from rayfinder_tpu.render.camera import create_camera
+    from rayfinder_tpu.render.pathtracer import SamplingParams, render_image
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+    from rayfinder_tpu.sky.model import sky_state_from_ui
+
+    flat, textures = courtyard_scene(4, textured=True)
+    scene = build_device_scene(flat, textures=textures)
+    cam = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, 64 / 48)
+    sky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
+    img = render_image(
+        scene, sky, cam, width=64, height=48,
+        sampling=SamplingParams(2, 3), exposure=1.0, engine="reference",
+    )
+    assert rmse(img, _golden("courtyard_textured_64x48_2spp.png")) < 5e-3
+
+
+def test_deferred_renderer_matches_golden(duck_device_scene):
+    """DeferredRenderer output pinned: 3 TAA frames (gbuffer->lighting->
+    resolve) and the debug triptych, Duck 64x48, wavefront engine."""
+    from rayfinder_tpu.render.camera import create_camera
+    from rayfinder_tpu.render.deferred import DeferredRenderer
+    from rayfinder_tpu.sky.model import sky_state_from_ui
+
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 64 / 48)
+    sky = sky_state_from_ui(1.0, (1, 1, 1), 30.0, 0.0)
+    dr = DeferredRenderer(duck_device_scene, 64, 48, engine="wavefront")
+    for _ in range(3):
+        out = dr.render(cam, sky, exposure=0.25)
+    assert rmse(out, _golden("duck_deferred_64x48_f3.png")) < 5e-3
+    debug = dr.render_debug(cam)
+    assert rmse(debug, _golden("duck_deferred_debug_64x48.png")) < 5e-3
