@@ -188,3 +188,32 @@ class FlyCameraController:
         reverse_z[2, 3] = 1.0
 
         return (reverse_z @ project @ view).astype(np.float32)
+
+
+def pick_focus_distance(scene, controller: FlyCameraController, x: float, y: float):
+    """Right-click focus-distance pick (src/pt/main.cpp:198-227): window
+    pixel -> camera ray -> closest BVH hit (CPU-semantics lockstep engine,
+    the rayIntersectBvh analog) -> focus = dot(hit_p - position, forward),
+    written back to the controller. Returns the new focus distance, or None
+    on a miss or out-of-window coordinates (the reference skips both)."""
+    import jax.numpy as jnp
+
+    from .camera import generate_camera_ray
+    from .traverse import intersect_closest
+
+    w, h = controller.window_size
+    if not (0.0 <= x < w and 0.0 <= y < h):
+        return None
+    u = np.asarray([np.float32(x) / np.float32(w)])
+    v = np.asarray([np.float32(1.0) - np.float32(y) / np.float32(h)])
+    o, d = generate_camera_ray(controller.camera(), u, v)
+    hit, t, _, _ = intersect_closest(
+        scene, jnp.asarray(o), jnp.asarray(d), jnp.float32(1000.0)
+    )
+    if not bool(np.asarray(hit)[0]):
+        return None
+    p = np.asarray(o)[0] + float(np.asarray(t)[0]) * np.asarray(d)[0]
+    forward, _, _ = controller.orientation()
+    focus = float(np.dot(p - controller.position, forward))
+    controller.focus_distance = focus
+    return focus

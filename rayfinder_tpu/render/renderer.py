@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..sky.model import SkyState, sky_state_from_ui
 from .camera import Camera
-from .pathtracer import SamplingParams, pick_accumulator
+from .pathtracer import SamplingParams, accumulate_samples_regen, pick_accumulator
 from .scene import DeviceScene
 from .tonemap import tonemap
 
@@ -78,11 +78,22 @@ class RenderParameters:
 class Renderer:
     """Progressive accumulation renderer over a DeviceScene."""
 
-    def __init__(self, scene: DeviceScene, params: RenderParameters, engine: str = "pallas"):
+    def __init__(
+        self,
+        scene: DeviceScene,
+        params: RenderParameters,
+        engine: str = "pallas",
+        count_rays: bool = False,
+    ):
         from .rng import blue_noise_tile
 
         self.scene = scene
         self.engine = engine
+        # count_rays: accumulate exact traced-segment counts (viewer/bench
+        # Mrays/s readout). Only the regen accumulators can count; the scan
+        # form (big scenes on unfused engines) leaves total_rays at None.
+        self._count_rays = count_rays
+        self.total_rays = 0 if count_rays else None
         self._tile = jnp.asarray(blue_noise_tile())
         self._durations = collections.deque(maxlen=30)
         self._params = params
@@ -120,13 +131,7 @@ class Renderer:
             # Same accumulator selection as render_image. Physics and noise
             # stream are identical either way.
             accumulate = pick_accumulator(self.scene, self.engine)
-            self._accum = accumulate(
-                self.scene,
-                self._sky_state,
-                p.camera,
-                self._tile,
-                jnp.int32(self.frame_count),
-                self._accum,
+            kw = dict(
                 width=p.width,
                 height=p.height,
                 num_bounces=p.sampling.num_bounces,
@@ -134,6 +139,23 @@ class Renderer:
                 num_frames=to_add,
                 engine=self.engine,
             )
+            counting = self._count_rays and accumulate is accumulate_samples_regen
+            if counting:
+                kw["count_rays"] = True
+            out = accumulate(
+                self.scene,
+                self._sky_state,
+                p.camera,
+                self._tile,
+                jnp.int32(self.frame_count),
+                self._accum,
+                **kw,
+            )
+            if counting:
+                self._accum, rays = out
+                self.total_rays += int(np.asarray(rays).sum())
+            else:
+                self._accum = out
             self.accumulated_sample_count += to_add
         self.frame_count += num_frames
         self._durations.append(time.time() - t0)
