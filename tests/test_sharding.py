@@ -130,3 +130,63 @@ def test_sharded_regen_tile_only_mesh(duck_device_scene):
         exposure=0.25, engine="pallas",
     )
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def small_courtyard():
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+
+    flat, textures = courtyard_scene(3)  # courtyard-class: enclosed, ~3K tris
+    return build_device_scene(flat, textures=textures)
+
+
+@pytest.mark.parametrize("sample_parallel", [1, 4])
+def test_sharded_regen_courtyard_meshes(small_courtyard, sample_parallel, monkeypatch):
+    """Courtyard-class scene through the SORTED fused regen path (the
+    big-scene production pipeline) on (8,1) and (2,4) meshes at a size whose
+    pixel shards are NOT whole 32x16-block multiples (64x32 over 8 tiles =
+    half-block shards): must match single-chip within the psum-regrouping
+    budget."""
+    from rayfinder_tpu.parallel.sharding import render_image_sharded_regen
+
+    monkeypatch.setenv("RAYFINDER_REGEN_SORT", "1")
+    cam = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, 2.0)
+    sky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
+    w, h, spp = 64, 32, 4
+
+    single = render_image(
+        small_courtyard, sky, cam,
+        width=w, height=h, sampling=SamplingParams(spp, 2),
+        exposure=1.0, engine="pallas",
+    )
+    mesh = make_render_mesh(jax.devices()[:8], sample_parallel=sample_parallel)
+    sharded = render_image_sharded_regen(
+        small_courtyard, sky, cam,
+        mesh=mesh, width=w, height=h, spp=spp, num_bounces=2,
+        exposure=1.0, engine="pallas",
+    )
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-3)
+
+
+def test_sharded_regen_samples_only_mesh(duck_device_scene):
+    """(1, 8) mesh: pure sample parallelism — unsharded pixels, 8-way psum."""
+    from rayfinder_tpu.parallel.sharding import render_image_sharded_regen
+
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 2.0)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    w, h, spp = 32, 16, 8
+
+    single = render_image(
+        duck_device_scene, sky, cam,
+        width=w, height=h, sampling=SamplingParams(spp, 2),
+        exposure=0.25, engine="pallas",
+    )
+    mesh = make_render_mesh(jax.devices()[:8], sample_parallel=8)
+    assert mesh.shape["tiles"] == 1 and mesh.shape["samples"] == 8
+    sharded = render_image_sharded_regen(
+        duck_device_scene, sky, cam,
+        mesh=mesh, width=w, height=h, spp=spp, num_bounces=2,
+        exposure=0.25, engine="pallas",
+    )
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-3)
