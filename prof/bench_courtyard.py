@@ -1,18 +1,17 @@
 """Big-scene bench: courtyard 254K tris, one 512x512 window, 16 samples,
 4 bounces, fused regen accumulator — single-dispatch timing (tunnel-safe).
-Prints seconds + Mrays/s (same ray accounting as bench.py, hit rate
-estimated from the window's primary rays)."""
+Prints seconds + Mrays/s (EXACT ray accounting via the regen loop's
+segment counters, same as bench.py)."""
 import sys; sys.path.insert(0, "/root/repo")
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import numpy as np
 import jax, jax.numpy as jnp
 
-from rayfinder_tpu.render.camera import create_camera, generate_camera_ray
+from rayfinder_tpu.render.camera import create_camera
 from rayfinder_tpu.render.pathtracer import accumulate_samples_regen
 from rayfinder_tpu.render.rng import blue_noise_tile
 from rayfinder_tpu.render.scene import build_device_scene
-from rayfinder_tpu.render.wavefront import intersect_closest_wavefront
 from rayfinder_tpu.scene.procedural import courtyard_scene
 from rayfinder_tpu.sky.model import sky_state_from_ui
 
@@ -31,25 +30,18 @@ def step(fb, accum):
     return accumulate_samples_regen(
         scene, sky, camera, tile, jnp.int32(fb), accum,
         width=W, height=H, num_bounces=BOUNCES, spp=256, num_frames=NF,
-        engine="pallas")
+        engine="pallas", count_rays=True)
 
 
 accum = jnp.zeros((W * H, 3), jnp.float32)
-accum = step(0, accum)
+accum, _ = step(0, accum)
 float(fence(accum))
 t0 = time.time()
-accum = step(NF, accum)
+accum, rays = step(NF, accum)
 float(fence(accum))
 dt = time.time() - t0
 
-n = 128
-js, is_ = np.meshgrid(np.arange(n), np.arange(n), indexing="xy")
-u = js.reshape(-1).astype(np.float32) / n
-v = 1.0 - (is_.reshape(-1) + 1.0).astype(np.float32) / n
-o, d = generate_camera_ray(camera, u, v)
-hit, _, _, _ = intersect_closest_wavefront(scene, o, d, jnp.float32(1e4))
-h = float(np.asarray(hit).mean())
-closest = sum(h**b for b in range(BOUNCES))
-shadow = sum(h**b for b in range(1, BOUNCES + 1))
-total = W * H * NF * (closest + shadow)
-print(f"hit rate {h:.3f}  dt {dt:.3f}s  {total/dt/1e6:.3f} Mrays/s")
+closest, shadow = (int(x) for x in np.asarray(rays))
+total = closest + shadow
+print(f"rays {total} (closest {closest} shadow {shadow})  dt {dt:.3f}s  "
+      f"{total/dt/1e6:.3f} Mrays/s")

@@ -118,7 +118,7 @@ def build_device_scene(
     from ..bvh.clusters import DEFAULT_LEAF_SIZE, treelet_ranges
 
     clusters = build_clusters(
-        positions, ranges=treelet_ranges(bvh, DEFAULT_LEAF_SIZE)
+        positions, ranges=treelet_ranges(bvh, DEFAULT_LEAF_SIZE, positions)
     )
 
     num_tris = positions.shape[0]
