@@ -20,6 +20,9 @@ Commands (one per line; `#` comments and blank lines ignored):
   speed V | vfov V       controller parameters (ImGui sliders)
   spp N | bounces N      sampling parameters ({8,64,512} / {2,4,8} in the UI)
   sun ZENITH AZIMUTH     sun direction degrees (ImGui sliders)
+  renderer MODE          pt | deferred | debug (the ImGui renderer radio,
+                         main.cpp:235-247; deferred frames TAA-accumulate,
+                         debug writes the G-buffer triptych)
   frames N               render N progressive frames, then rewrite the PNG
   wait                   render to the spp target, rewriting every batch
   status                 print the readout line without rendering
@@ -73,9 +76,12 @@ class ViewerSession:
         self.bounces = bounces
         self.batch = batch
         self.width, self.height = width, height
+        self.engine = engine
         self.renderer = Renderer(
             scene, self._params(), engine=engine, count_rays=True
         )
+        self.mode = "pt"  # pt | deferred | debug (the ImGui renderer radio)
+        self._deferred = None
         self._render_seconds = 0.0
 
     def _params(self) -> RenderParameters:
@@ -93,7 +99,25 @@ class ViewerSession:
         resets accumulation, reference_path_tracer.cpp:556-563)."""
         self.renderer.set_render_parameters(self._params())
 
+    def _deferred_renderer(self):
+        from ..render.deferred import DeferredRenderer
+
+        if self._deferred is None:
+            self._deferred = DeferredRenderer(
+                self.scene, self.width, self.height, engine=self.engine
+            )
+        return self._deferred
+
     def status(self) -> str:
+        if self.mode != "pt":
+            dr = self._deferred_renderer()
+            stats = " ".join(
+                f"{k}={v:.1f}ms" for k, v in dr.perf_stats().items()
+            )
+            return (
+                f"[{self.mode} frame {dr.frame_count}] {stats} "
+                f"pos={np.round(self.controller.position, 3).tolist()}"
+            )
         r = self.renderer
         mrays = ""
         if r.total_rays and self._render_seconds > 0:
@@ -107,13 +131,23 @@ class ViewerSession:
         )
 
     def render_frames(self, n: int) -> str:
+        from ..utils.image import write_png
+
+        if self.mode != "pt":
+            dr = self._deferred_renderer()
+            cam = self.controller.camera()
+            if self.mode == "deferred":
+                for _ in range(n):
+                    img = dr.render(cam, self.sky.state(), self.exposure)
+            else:
+                img = dr.render_debug(cam)
+            write_png(self.out_path, img)
+            return self.status()
         t0 = time.time()
         self.renderer.render(n)
         # Fence through the tonemapped host image — also what we write.
         img = self.renderer.image()
         self._render_seconds += time.time() - t0
-        from ..utils.image import write_png
-
         write_png(self.out_path, img)
         return self.status()
 
@@ -168,11 +202,20 @@ class ViewerSession:
                 sun_azimuth_degrees=float(args[1]),
             )
             self._sync()
+        elif cmd == "renderer":
+            mode = args[0].lower()
+            if mode not in ("pt", "deferred", "debug"):
+                print(f"viewer: unknown renderer {mode!r}", file=sys.stderr)
+            else:
+                self.mode = mode
         elif cmd == "frames":
             print(self.render_frames(int(args[0])))
         elif cmd == "wait":
-            while self.renderer.accumulated_sample_count < self.spp:
-                print(self.render_frames(self.batch))
+            if self.mode != "pt":
+                print(self.render_frames(1))
+            else:
+                while self.renderer.accumulated_sample_count < self.spp:
+                    print(self.render_frames(self.batch))
         elif cmd == "status":
             print(self.status())
         else:

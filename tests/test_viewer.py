@@ -94,3 +94,34 @@ def test_viewer_session_scripted(duck_device_scene, tmp_path):
 
     assert s.handle("status")
     assert not s.handle("quit")
+
+
+def test_viewer_renderer_modes(duck_device_scene, tmp_path):
+    """The ImGui renderer radio (main.cpp:235-247): pt <-> deferred <-> debug
+    switching renders through the right pipeline and keeps writing the PNG."""
+    from rayfinder_tpu.render.renderer import Sky
+    from rayfinder_tpu.tools.viewer import ViewerSession
+    from rayfinder_tpu.utils.image import read_png
+
+    out = tmp_path / "view.png"
+    s = ViewerSession(
+        duck_device_scene, out, width=48, height=36, spp=2, bounces=2,
+        sky=Sky(), exposure=0.25, engine="wavefront", batch=1,
+    )
+    s.controller.position = np.asarray([2.0, 1.5, 2.0], np.float32)
+    s.controller.look_at([0.1, 0.8, 0.0])
+
+    s.handle("renderer deferred")
+    s.handle("frames 2")
+    assert s._deferred is not None and s._deferred.frame_count == 2
+    deferred_img = read_png(out)
+    assert "deferred" in s.status()
+
+    s.handle("renderer debug")
+    s.handle("frames 1")
+    debug_img = read_png(out)
+    assert not np.array_equal(debug_img, deferred_img)
+
+    s.handle("renderer pt")
+    s.handle("wait")
+    assert s.renderer.accumulated_sample_count == 2
