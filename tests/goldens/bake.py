@@ -1,0 +1,69 @@
+"""Regenerate every golden image in this directory.
+
+Run from the repo root after an INTENTIONAL behavior change, then review the
+diffs visually before committing:
+
+    python tests/goldens/bake.py
+
+Each golden pins one user-visible pipeline (the reference validates these
+visually, SURVEY.md §4; here they are automated with RMSE budgets in
+tests/test_goldens.py).
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+GOLDENS = pathlib.Path(__file__).resolve().parent
+DUCK = "/root/reference/assets/Duck.glb"
+
+
+def main() -> None:
+    from rayfinder_tpu.render.camera import create_camera
+    from rayfinder_tpu.render.deferred import DeferredRenderer
+    from rayfinder_tpu.render.pathtracer import SamplingParams, render_image
+    from rayfinder_tpu.render.scene import build_device_scene, load_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+    from rayfinder_tpu.sky.model import sky_state_from_ui
+    from rayfinder_tpu.tools.bvh_visualizer import visualize
+    from rayfinder_tpu.tools.sky_demo import render_sky_dome
+    from rayfinder_tpu.utils.image import write_png
+
+    duck = load_device_scene(DUCK)
+    dcam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 64 / 48)
+    dsky = sky_state_from_ui(1.0, (1, 1, 1), 30.0, 0.0)
+
+    img = render_image(
+        duck, dsky, dcam, width=64, height=48,
+        sampling=SamplingParams(2, 2), exposure=0.25, engine="reference",
+    )
+    write_png(GOLDENS / "duck_64x48_2spp.png", img)
+
+    flat, textures = courtyard_scene(4, textured=True)
+    court = build_device_scene(flat, textures=textures)
+    ccam = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, 64 / 48)
+    csky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
+    img = render_image(
+        court, csky, ccam, width=64, height=48,
+        sampling=SamplingParams(2, 3), exposure=1.0, engine="reference",
+    )
+    write_png(GOLDENS / "courtyard_textured_64x48_2spp.png", img)
+
+    dr = DeferredRenderer(duck, 64, 48, engine="wavefront")
+    for _ in range(3):
+        out = dr.render(dcam, dsky, exposure=0.25)
+    write_png(GOLDENS / "duck_deferred_64x48_f3.png", out)
+    write_png(GOLDENS / "duck_deferred_debug_64x48.png", dr.render_debug(dcam))
+
+    write_png(GOLDENS / "sky_dome_64.png", render_sky_dome(size=64))
+    write_png(GOLDENS / "bvh_heatmap_64x48.png", visualize(DUCK, width=64, height=48))
+    print("baked", len(list(GOLDENS.glob("*.png"))), "goldens")
+
+
+if __name__ == "__main__":
+    main()

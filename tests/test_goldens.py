@@ -2,8 +2,8 @@
 
 The reference validates its renderers by eye against showcase images
 (SURVEY.md §4); here the three visual tools are pinned against committed
-goldens with an RMSE budget (regenerate with the bake snippet in the test
-docstrings if behavior intentionally changes).
+goldens with an RMSE budget (regenerate with `python tests/goldens/bake.py`
+if behavior intentionally changes, and review the diffs visually).
 """
 
 import pathlib
@@ -99,8 +99,7 @@ def test_blue_noise_tool_roundtrip(tmp_path):
 def test_textured_courtyard_matches_golden():
     """The multi-texture courtyard (14 mixed-size PNG-decoded images through
     the packed atlas) pinned at 64x48 @ 2spp/3bounce, reference engine.
-    Bake: render with engine="reference" and write_png to the golden path
-    (see /tmp-style snippet in git history of tests/goldens/)."""
+    Bake: python tests/goldens/bake.py."""
     from rayfinder_tpu.render.camera import create_camera
     from rayfinder_tpu.render.pathtracer import SamplingParams, render_image
     from rayfinder_tpu.render.scene import build_device_scene
