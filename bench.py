@@ -94,19 +94,8 @@ def main() -> None:
     total_rays = closest + shadow
     mrays = total_rays / dt / 1e6
 
-    # Diagnostic only (stderr): measured counts vs the old geometric-series
-    # model from the primary hit rate, for the record.
-    h = _primary_hit_rate(scene, camera)
-    model = (
-        WIDTH * HEIGHT * TIMED_SAMPLES
-        * (sum(h**b for b in range(BOUNCES)) + sum(h**b for b in range(1, BOUNCES + 1)))
-    )
-    print(
-        f"rays measured={total_rays} (closest={closest} shadow={shadow}) "
-        f"model={model:.0f} model/measured={model / total_rays:.4f} dt={dt:.3f}s",
-        file=sys.stderr,
-    )
-
+    # Print the measurement FIRST: everything after this line is diagnostic,
+    # and a post-measurement worker fault must not discard a good number.
     print(
         json.dumps(
             {
@@ -115,8 +104,25 @@ def main() -> None:
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / TARGET_MRAYS, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # Diagnostic only (stderr): measured counts vs the old geometric-series
+    # model from the primary hit rate, for the record.
+    try:
+        h = _primary_hit_rate(scene, camera)
+        model = (
+            WIDTH * HEIGHT * TIMED_SAMPLES
+            * (sum(h**b for b in range(BOUNCES)) + sum(h**b for b in range(1, BOUNCES + 1)))
+        )
+        print(
+            f"rays measured={total_rays} (closest={closest} shadow={shadow}) "
+            f"model={model:.0f} model/measured={model / total_rays:.4f} dt={dt:.3f}s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # diagnostic must never cost the measurement
+        print(f"bench: hit-rate diagnostic failed: {e!r}", file=sys.stderr)
 
 
 def _primary_hit_rate(scene, camera) -> float:
@@ -177,6 +183,8 @@ def _try_engines(deadline: float) -> str | None:
         env["RAYFINDER_BENCH_CHILD"] = "1"
         env["RAYFINDER_ENGINE"] = engine
         t0 = time.time()
+        stdout = stderr = ""
+        status = "timed out"
         try:
             r = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
@@ -185,20 +193,21 @@ def _try_engines(deadline: float) -> str | None:
                 timeout=min(2400.0, remaining),
                 env=env,
             )
-        except subprocess.TimeoutExpired:
-            r = None
+            stdout, stderr, status = r.stdout, r.stderr, f"exited {r.returncode}"
+        except subprocess.TimeoutExpired as e:
+            # The child may have printed the JSON line BEFORE hanging in a
+            # post-measurement diagnostic — salvage whatever it wrote.
+            stdout = (e.stdout or b"").decode(errors="replace") if isinstance(e.stdout, bytes) else (e.stdout or "")
+            stderr = (e.stderr or b"").decode(errors="replace") if isinstance(e.stderr, bytes) else (e.stderr or "")
         print(
-            f"bench: engine={engine} child "
-            f"{'timed out' if r is None else f'exited {r.returncode}'} "
-            f"after {time.time() - t0:.0f}s",
+            f"bench: engine={engine} child {status} after {time.time() - t0:.0f}s",
             file=sys.stderr,
         )
-        if r is not None:
-            sys.stderr.write(r.stderr or "")
-            for line in (r.stdout or "").splitlines():
-                line = line.strip()
-                if line.startswith("{") and '"metric"' in line:
-                    return line
+        sys.stderr.write(stderr or "")
+        for line in (stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                return line
         if i + 1 < len(engines):
             # Child died or hung (worker fault?): give the TPU a moment
             # before the fallback engine tries to attach.

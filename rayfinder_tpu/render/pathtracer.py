@@ -982,10 +982,16 @@ def _count_wrap(body, flag_index=2):
     return body2
 
 
-def _counts_to_rays(cnt, total_samples):
-    """[H, D] -> [closest, shadow] (see _count_wrap). total_samples must fit
-    int32 — true for any single dispatch (a 1080p x 1024spp job overflows but
-    is always split across accumulate calls)."""
+def _counts_to_rays(cnt, total_samples, num_bounces):
+    """[H, D] -> [closest, shadow] (see _count_wrap). The int32 counters are
+    bounded by total_samples * num_bounces (H) and total_samples (D);
+    enforce the bound at trace time (total_samples is static) so an
+    oversized single dispatch fails loudly instead of wrapping silently."""
+    if total_samples * max(1, num_bounces) >= 2**31:
+        raise ValueError(
+            f"ray counters would overflow int32: {total_samples} samples x "
+            f"{num_bounces} bounces in one dispatch; split across calls"
+        )
     h, d = cnt[0], cnt[1]
     return jnp.stack([h + (jnp.int32(total_samples) - d), h])
 
@@ -1159,7 +1165,7 @@ def _accumulate_regen_fused(
     lrad = state[7]
     out = lrad if pix is None else lrad_full.at[pix].add(lrad, mode="drop")
     if count_rays:
-        return out, _counts_to_rays(state[-1], batch * num_frames)
+        return out, _counts_to_rays(state[-1], batch * num_frames, num_bounces)
     return out
 
 
@@ -1333,7 +1339,7 @@ def _accumulate_regen_fused_sorted(
     state = jax.lax.while_loop(any_left, body, state)
     out = lrad_full.at[state[14]].add(state[7], mode="drop")
     if count_rays:
-        return out, _counts_to_rays(state[-1], batch * num_frames)
+        return out, _counts_to_rays(state[-1], batch * num_frames, num_bounces)
     return out
 
 

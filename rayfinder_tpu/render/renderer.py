@@ -90,8 +90,10 @@ class Renderer:
         self.scene = scene
         self.engine = engine
         # count_rays: accumulate exact traced-segment counts (viewer/bench
-        # Mrays/s readout). Only the regen accumulators can count; the scan
-        # form (big scenes on unfused engines) leaves total_rays at None.
+        # Mrays/s readout). Only the regen accumulators can count; when the
+        # picked accumulator is the scan form (big scenes on unfused
+        # engines), total_rays flips back to None on the first render() so
+        # callers can distinguish "counting unavailable" from "0 rays".
         self._count_rays = count_rays
         self.total_rays = 0 if count_rays else None
         self._tile = jnp.asarray(blue_noise_tile())
@@ -142,6 +144,8 @@ class Renderer:
             counting = self._count_rays and accumulate is accumulate_samples_regen
             if counting:
                 kw["count_rays"] = True
+            elif self._count_rays:
+                self.total_rays = None  # counting unavailable on this path
             out = accumulate(
                 self.scene,
                 self._sky_state,

@@ -96,8 +96,11 @@ class ViewerSession:
 
     def _sync(self) -> None:
         """Push controller/parameter state into the renderer (a real change
-        resets accumulation, reference_path_tracer.cpp:556-563)."""
+        resets accumulation, reference_path_tracer.cpp:556-563). The deferred
+        renderer's TAA history is viewpoint-dependent, so it resets too."""
         self.renderer.set_render_parameters(self._params())
+        if self._deferred is not None:
+            self._deferred.invalidate_temporal_accumulation()
 
     def _deferred_renderer(self):
         from ..render.deferred import DeferredRenderer
@@ -137,7 +140,8 @@ class ViewerSession:
             dr = self._deferred_renderer()
             cam = self.controller.camera()
             if self.mode == "deferred":
-                for _ in range(n):
+                img = None
+                for _ in range(max(1, n)):
                     img = dr.render(cam, self.sky.state(), self.exposure)
             else:
                 img = dr.render_debug(cam)

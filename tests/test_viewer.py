@@ -125,3 +125,29 @@ def test_viewer_renderer_modes(duck_device_scene, tmp_path):
     s.handle("renderer pt")
     s.handle("wait")
     assert s.renderer.accumulated_sample_count == 2
+
+
+def test_viewer_deferred_taa_resets_on_move(duck_device_scene, tmp_path):
+    """Camera motion must invalidate the deferred renderer's TAA history —
+    the reference resets accumulation on any camera change; blending 90%
+    stale-viewpoint history would ghost the old view. Also: `frames 0` in
+    deferred mode must render one frame instead of crashing."""
+    from rayfinder_tpu.render.renderer import Sky
+    from rayfinder_tpu.tools.viewer import ViewerSession
+
+    out = tmp_path / "view.png"
+    s = ViewerSession(
+        duck_device_scene, out, width=48, height=36, spp=2, bounces=2,
+        sky=Sky(), exposure=0.25, engine="wavefront", batch=1,
+    )
+    s.controller.position = np.asarray([2.0, 1.5, 2.0], np.float32)
+    s.controller.look_at([0.1, 0.8, 0.0])
+
+    s.handle("renderer deferred")
+    s.handle("frames 2")
+    assert s._deferred.frame_count == 2
+    s.handle("w 0.5")  # camera move -> TAA history reset
+    assert s._deferred.frame_count == 0
+    s.handle("frames 0")  # n<=0 still renders one frame (no UnboundLocalError)
+    assert s._deferred.frame_count == 1
+    assert out.exists()
