@@ -618,22 +618,30 @@ def accumulate_lanes_regen(
 
         return body
 
-    sample0 = jnp.zeros((batch,), jnp.int32)
+    # Derive every while_loop carry from the (possibly shard_map-varying)
+    # inputs so carry types match under manual sharding (same pattern as
+    # render/traverse.py; adding exact zeros, numerics unchanged). u is
+    # tiles-varying and frame_base samples-varying in the sharded step, so
+    # the sum carries both axes.
+    zero_i = (u[:batch] * 0.0).astype(jnp.int32) + jnp.asarray(
+        frame_base, jnp.int32
+    ) * jnp.int32(0)
+    sample0 = jnp.zeros((batch,), jnp.int32) + zero_i
     body = make_phase(u, v_tex, noise_base_full, None)
     noise0 = _noise_of(noise_base_full, sample0)
     o0, d0 = _primary(u, v_tex, noise0)
     state = (
         sample0,  # per-lane sample index
-        jnp.ones((batch,), jnp.int32),  # bounce depth of the active path
+        jnp.ones((batch,), jnp.int32) + zero_i,  # bounce depth of the active path
         o0,
         d0,
-        jnp.ones((batch, 3), jnp.float32),  # throughput
-        jnp.zeros((batch, 3), jnp.float32),  # current sample's radiance
-        accum,  # pixel radiance, seeded from accum for exact f32 grouping
+        jnp.ones((batch, 3), jnp.float32) + zero_i[:, None].astype(jnp.float32),
+        jnp.zeros((batch, 3), jnp.float32) + zero_i[:, None].astype(jnp.float32),
+        accum + zero_i[: accum.shape[0], None].astype(jnp.float32),
         noise0,
     )
     if count_rays:
-        state = state + (jnp.zeros((2,), jnp.int32),)
+        state = state + (jnp.zeros((2,), jnp.int32) + zero_i[:2],)
 
     floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
     cur_u, cur_v, cur_nb, pix = u, v_tex, noise_base_full, None

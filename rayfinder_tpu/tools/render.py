@@ -45,6 +45,12 @@ def main(argv=None) -> int:
         help="traversal engine: lockstep reference, XLA wavefront, or the "
         "Pallas cluster-sweep kernels",
     )
+    parser.add_argument(
+        "--mesh", default=None, metavar="TILESxSAMPLES",
+        help="render across a multi-chip device mesh, e.g. 4x2 = 4-way "
+        "pixel-tile sharding x 2-way sample sharding (requires "
+        "tiles*samples visible devices; spp must divide the samples axis)",
+    )
     args = parser.parse_args(argv)
 
     from ..render.camera import create_camera
@@ -98,16 +104,50 @@ def main(argv=None) -> int:
     sky = sky_state_from_ui(args.turbidity, tuple(args.albedo), args.sun_zenith, args.sun_azimuth)
 
     t0 = time.time()
-    img = render_image(
-        scene,
-        sky,
-        camera,
-        width=args.width,
-        height=args.height,
-        sampling=SamplingParams(args.spp, args.bounces),
-        exposure=2.0 ** -args.exposure_stops,
-        engine=args.engine,
-    )
+    if args.mesh is not None:
+        import jax
+
+        from ..parallel.sharding import (
+            make_render_mesh,
+            render_image_sharded_regen,
+        )
+
+        try:
+            tiles, samples = (int(x) for x in args.mesh.lower().split("x"))
+        except ValueError:
+            parser.error(f"--mesh must be TILESxSAMPLES, got {args.mesh!r}")
+        devices = jax.devices()
+        if tiles * samples > len(devices):
+            parser.error(
+                f"--mesh {args.mesh} needs {tiles * samples} devices, "
+                f"only {len(devices)} visible"
+            )
+        if args.spp % samples:
+            parser.error(f"--spp {args.spp} must divide the samples axis {samples}")
+        mesh = make_render_mesh(devices[: tiles * samples], sample_parallel=samples)
+        img = render_image_sharded_regen(
+            scene,
+            sky,
+            camera,
+            mesh=mesh,
+            width=args.width,
+            height=args.height,
+            spp=args.spp,
+            num_bounces=args.bounces,
+            exposure=2.0 ** -args.exposure_stops,
+            engine=args.engine,
+        )
+    else:
+        img = render_image(
+            scene,
+            sky,
+            camera,
+            width=args.width,
+            height=args.height,
+            sampling=SamplingParams(args.spp, args.bounces),
+            exposure=2.0 ** -args.exposure_stops,
+            engine=args.engine,
+        )
     dt = time.time() - t0
     rays = args.width * args.height * args.spp * (2 * args.bounces)  # closest+shadow per bounce
     print(f"rendered {args.width}x{args.height} @ {args.spp}spp in {dt:.1f}s "

@@ -110,6 +110,47 @@ def test_sharded_regen_matches_single_chip(duck_device_scene):
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-3)
 
 
+def test_sharded_regen_wavefront_engine(duck_device_scene):
+    """The GENERIC engine path under shard_map (accumulate_lanes_regen with
+    the XLA wavefront engine — what `tools/render.py --mesh` runs for
+    non-pallas engines). Regression for the while_loop varying-axis typing:
+    every carry must derive from the sharded inputs (u is tiles-varying,
+    frame_base samples-varying)."""
+    from rayfinder_tpu.parallel.sharding import render_image_sharded_regen
+
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, 2.0)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    w, h, spp = 32, 16, 4
+
+    single = render_image(
+        duck_device_scene, sky, cam,
+        width=w, height=h, sampling=SamplingParams(spp, 2),
+        exposure=0.25, engine="wavefront",
+    )
+    mesh = make_render_mesh(jax.devices()[:8], sample_parallel=2)
+    sharded = render_image_sharded_regen(
+        duck_device_scene, sky, cam,
+        mesh=mesh, width=w, height=h, spp=spp, num_bounces=2,
+        exposure=0.25, engine="wavefront",
+    )
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-3)
+
+
+def test_render_cli_mesh_flag(duck_device_scene, tmp_path):
+    """`tools/render.py --mesh TxS` renders through the sharded pipeline."""
+    from rayfinder_tpu.tools.render import main as render_main
+
+    out = tmp_path / "mesh.png"
+    rc = render_main([
+        "/root/reference/assets/Duck.glb", "-o", str(out),
+        "--width", "32", "--height", "16", "--spp", "4", "--bounces", "2",
+        "--engine", "wavefront", "--mesh", "2x2",
+        "--camera-origin", "2", "1.5", "2",
+        "--camera-look-at", "0.1", "0.8", "0",
+    ])
+    assert rc == 0 and out.exists()
+
+
 def test_sharded_regen_tile_only_mesh(duck_device_scene):
     """samples axis 1: pure pixel sharding, no psum contribution mixing."""
     from rayfinder_tpu.parallel.sharding import render_image_sharded_regen
