@@ -57,7 +57,7 @@ RT = int(os.environ.get("RAYFINDER_RT", "32"))
 # trace time. Env TILE/RT force both paths.
 _BIG_TILE = int(os.environ.get("RAYFINDER_BIG_TILE", "128"))
 _BIG_RT = int(os.environ.get("RAYFINDER_BIG_RT", "32"))
-_BIG_CLUSTERS = int(os.environ.get("RAYFINDER_BIG_CLUSTERS", "512"))
+from ..bvh.clusters import BIG_CLUSTERS as _BIG_CLUSTERS
 
 
 def _pick_tile(num_clusters: int) -> tuple[int, int]:
@@ -202,8 +202,10 @@ def _next_row(entry, bt):
 
 # Clusters per super in the grouped layout: 128 keeps the transposed table's
 # minor dims (L, SUPER_G) an aligned (128, 128) tile for the DMA and makes
-# the matmul-gather a full (L, S) x (S, TILE) MXU op.
-SUPER_G = int(os.environ.get("RAYFINDER_SUPER_G", "128"))
+# the matmul-gather a full (L, S) x (S, TILE) MXU op. Imported from
+# bvh/clusters.py so the scene-level SA-bounded super padding
+# (super_pad_clusters) and this DMA layout can never disagree.
+from ..bvh.clusters import SUPER_GROUP as SUPER_G
 # Rays per selection group. 1 = fully per-lane front-to-back (no segmented
 # fold at all: every lane sweeps exactly the clusters IT needs, iterations =
 # max over lanes); 8 = one cluster per sublane-width group. TPU A/B
@@ -261,6 +263,26 @@ def _seg_select(masked):
     return jb, jnp.min(m)
 
 
+def _gather_lanes(mat, jb):
+    """Per-lane lane-shuffle gather: mat (R, G) by jb (1, TILE) -> (R, TILE).
+
+    G == TILE is one tpu.dynamic_gather. G == banks*TILE (SUPER_G > 128)
+    shuffles each 128-lane bank with jb % TILE and selects by jb's bank id —
+    the lane shuffle itself only reaches within one 128-lane register."""
+    r, g = mat.shape
+    tile = jb.shape[1]
+    if g == tile:
+        return jnp.take_along_axis(mat, jnp.broadcast_to(jb, (r, tile)), axis=1)
+    assert g % tile == 0, "table lane dim must be a TILE multiple"
+    idx = jnp.broadcast_to(jb % tile, (r, tile))
+    bank = jb // tile  # (1, TILE)
+    out = None
+    for b in range(g // tile):
+        v = jnp.take_along_axis(mat[:, b * tile:(b + 1) * tile], idx, axis=1)
+        out = v if out is None else jnp.where(bank == b, v, out)
+    return out
+
+
 def _gather_rows_T(tbufT, jb, rows):
     """Per-lane row fetch: tpu.dynamic_gather lane shuffle of the transposed
     table (R, L, G) by each lane's selected cluster jb (1, TILE) -> per-lane
@@ -271,14 +293,9 @@ def _gather_rows_T(tbufT, jb, rows):
     measured on v5e (777-cluster scene, 4096 rays): only 2.9% of hits
     returned the right triangle index (cluster starts ~73K need 17+ bits;
     vertex f32s need 24). The lane shuffle is exact and drops the one-hot
-    build plus ten MXU passes per selection round. Requires G == 128 (the
-    grouped layout always pads the DMA'd lane dim to 128)."""
-    l = tbufT.shape[1]
-    assert jb.shape[1] == tbufT.shape[2], (
-        "grouped gather needs TILE == the table lane dim (128)"
-    )
-    idx = jnp.broadcast_to(jb, (l, jb.shape[1]))
-    return [jnp.take_along_axis(tbufT[r], idx, axis=1) for r in rows]
+    build plus ten MXU passes per selection round. G > 128 uses banked
+    shuffles (_gather_lanes)."""
+    return [_gather_lanes(tbufT[r], jb) for r in rows]
 
 
 def _mt_block_T(v, ox, oy, oz, dx, dy, dz, t_bound):
@@ -360,10 +377,7 @@ def _closest_tile_sweep_grouped(
             for _ in range(_GROUP_K):
                 v = _gather_rows_T(tbufT, jb, range(9))
                 t_cand, slot = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bt)
-                start_lane = jnp.take_along_axis(
-                    starts_rows, jnp.broadcast_to(jb, starts_rows.shape),
-                    axis=1,
-                )[0]
+                start_lane = _gather_lanes(starts_rows, jb)[0]
                 better = t_cand < bt
                 tri = start_lane.astype(jnp.int32) + slot
                 bt = jnp.where(better, t_cand, bt)

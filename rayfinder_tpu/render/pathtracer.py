@@ -204,9 +204,12 @@ def trace_radiance(
     # overhead outweighs the savings when tiles already cover few clusters.
     sort_bounces = num_bounces > 1 and scene.cluster_tris.shape[0] > SORT_THRESHOLD
     pixel_of = jnp.arange(batch, dtype=jnp.int32)
-    scene_lo = jnp.min(scene.cluster_min, axis=0)
+    # Triangle bounds, not cluster bounds: padded super slots carry far-away
+    # degenerate AABBs (bvh/clusters.super_pad_clusters) that would blow up
+    # a cluster-table max.
+    scene_lo = jnp.min(scene.tri_positions, axis=(0, 1))
     scene_inv = jnp.float32(1023.0) / jnp.maximum(
-        jnp.max(scene.cluster_max, axis=0) - scene_lo, 1e-6
+        jnp.max(scene.tri_positions, axis=(0, 1)) - scene_lo, 1e-6
     )
 
     def _coherence_key(o, d, live):

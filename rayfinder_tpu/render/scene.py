@@ -115,11 +115,17 @@ def build_device_scene(
         # Default white texel: BGRA 0xFFFFFFFF.
         texels = np.asarray([0xFFFFFFFF], dtype=np.uint32)
 
-    from ..bvh.clusters import DEFAULT_LEAF_SIZE, treelet_ranges
+    from ..bvh.clusters import (
+        DEFAULT_LEAF_SIZE, SUPER_TREELET, super_pad_clusters, treelet_ranges,
+    )
 
     clusters = build_clusters(
         positions, ranges=treelet_ranges(bvh, DEFAULT_LEAF_SIZE, positions)
     )
+    if SUPER_TREELET:
+        # Subtree-aligned super runs (big scenes only). See
+        # bvh/clusters.super_runs_from_bvh.
+        clusters = super_pad_clusters(clusters, bvh, positions.shape[0])
 
     num_tris = positions.shape[0]
     tri_attrs = np.empty((num_tris, 25), dtype=np.float32)
