@@ -178,14 +178,22 @@ def _noise_rows(sample, nb0, nb1, i):
 
 def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                       grouped: bool = False, pair: bool = False):
+    from .pallas_walk import _krays
+
+    kr = _krays(grouped, rt_count)
+
     def kernel(
         counters_ref, ray_ref, shade_ref, pix_ref, nee_ref,
         fscal, iscal, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
         counters_out, ray_out, shade_out, t_out, tri_out,
-        super_entry, cl_entry, tbuf, cache_tag, sem, *pair_scratch,
+        *scratch,
     ):
-        pair_entry = pair_scratch[0] if pair else None
+        super_entries = list(scratch[0:kr])
+        cl_entries = list(scratch[kr:2 * kr])
+        tbuf, cache_tag, sem = scratch[2 * kr:2 * kr + 3]
+        super_entry, cl_entry = super_entries[0], cl_entries[0]
+        pair_entry = scratch[2 * kr + 3] if pair else None
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -201,39 +209,52 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
         # made the Mosaic program big enough to take ~20min to compile.
         # A fori_loop with a dynamic leading-dim tile index compiles the
         # body ONCE (dynamic indexing is legal on the leading dim only).
-        def per_tile(rt, _):
-            sample = counters_ref[rt, 0, :]
-            bounce = counters_ref[rt, 1, :]
-            flag = counters_ref[rt, 2, :]
-            ox, oy, oz = ray_ref[rt, 0, :], ray_ref[rt, 1, :], ray_ref[rt, 2, :]
-            dx, dy, dz = ray_ref[rt, 3, :], ray_ref[rt, 4, :], ray_ref[rt, 5, :]
-            t0, t1, t2 = shade_ref[rt, 0, :], shade_ref[rt, 1, :], shade_ref[rt, 2, :]
-            s0, s1, s2 = shade_ref[rt, 3, :], shade_ref[rt, 4, :], shade_ref[rt, 5, :]
-            l0, l1, l2 = shade_ref[rt, 6, :], shade_ref[rt, 7, :], shade_ref[rt, 8, :]
-            u_row = pix_ref[rt, 0, :]
-            v_row = pix_ref[rt, 1, :]
-            nb0 = pix_ref[rt, 2, :]
-            nb1 = pix_ref[rt, 3, :]
+        # K-aggregation (kr > 1, grouped big scenes): each fori step owns
+        # kr consecutive tile rows whose lanes share the traversal sweeps
+        # (see pallas_walk.KRAYS); all per-row bookkeeping unrolls over k.
+        _L = 21  # per-row main-loop state tuple length
 
-            lanes = sample.shape[0]
-            live = sample < nf
+        def load_row(rt):
+            """One tile row's lane state + derived NEE shadow quantities.
 
-            # --- NEE shadow state: the PREVIOUS segment's light sample.
-            # flag: 0 = fresh ray (no pending NEE); 1 = pending NEE, input
-            # ray is the scatter continuation; 2 = pending NEE, the path
-            # terminates after it (depth limit / degenerate scatter).
+            flag: 0 = fresh ray (no pending NEE); 1 = pending NEE, input
+            ray is the scatter continuation; 2 = pending NEE, the path
+            terminates after it (depth limit / degenerate scatter)."""
+            r = {"rt": rt}
+            r["sample"] = counters_ref[rt, 0, :]
+            r["bounce"] = counters_ref[rt, 1, :]
+            r["flag"] = counters_ref[rt, 2, :]
+            r["o"] = (ray_ref[rt, 0, :], ray_ref[rt, 1, :], ray_ref[rt, 2, :])
+            r["d"] = (ray_ref[rt, 3, :], ray_ref[rt, 4, :], ray_ref[rt, 5, :])
+            r["t"] = (shade_ref[rt, 0, :], shade_ref[rt, 1, :], shade_ref[rt, 2, :])
+            r["s"] = (shade_ref[rt, 3, :], shade_ref[rt, 4, :], shade_ref[rt, 5, :])
+            r["l"] = (shade_ref[rt, 6, :], shade_ref[rt, 7, :], shade_ref[rt, 8, :])
+            r["u"], r["v"] = pix_ref[rt, 0, :], pix_ref[rt, 1, :]
+            r["nb0"], r["nb1"] = pix_ref[rt, 2, :], pix_ref[rt, 3, :]
+            r["live"] = r["sample"] < nf
+            # NEE shadow state: the PREVIOUS segment's light sample.
             sox, soy, soz = nee_ref[rt, 0, :], nee_ref[rt, 1, :], nee_ref[rt, 2, :]
             sdx, sdy, sdz = nee_ref[rt, 3, :], nee_ref[rt, 4, :], nee_ref[rt, 5, :]
             c0, c1, c2 = nee_ref[rt, 6, :], nee_ref[rt, 7, :], nee_ref[rt, 8, :]
-            has_nee = live & (flag > 0)
+            r["c"] = (c0, c1, c2)
+            r["has_nee"] = r["live"] & (r["flag"] > 0)
             nonzero_c = (c0 != 0.0) | (c1 != 0.0) | (c2 != 0.0)
-            shadow_bound = jnp.where(has_nee & nonzero_c, t_max, neg_inf)
-            six = jnp.float32(1.0) / sdx
-            siy = jnp.float32(1.0) / sdy
-            siz = jnp.float32(1.0) / sdz
+            r["shadow_bound"] = jnp.where(
+                r["has_nee"] & nonzero_c, t_max, neg_inf
+            )
+            r["shadow"] = (
+                sox, soy, soz, sdx, sdy, sdz,
+                jnp.float32(1.0) / sdx,
+                jnp.float32(1.0) / sdy,
+                jnp.float32(1.0) / sdz,
+            )
+            return r
 
-            def process_trace(st, bt, btri,
-                              u_row=u_row, v_row=v_row, nb0=nb0, nb1=nb1):
+        def make_process_trace(row):
+            u_row, v_row = row["u"], row["v"]
+            nb0, nb1 = row["nb0"], row["nb1"]
+
+            def process_trace(st, bt, btri):
                 """Fold one trace's results: stop hit lanes for shading;
                 for misses accumulate throughput x sky, finish the sample,
                 regenerate the pixel's next primary in-register."""
@@ -281,162 +302,126 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                         t0, t1, t2, s0, s1, s2, l0, l1, l2,
                         tfin, trifin, stopped, flag)
 
-            def apply_nee(vis, s0, s1, s2):
-                s0 = jnp.where(has_nee, s0 + c0 * vis, s0)
-                s1 = jnp.where(has_nee, s1 + c1 * vis, s1)
-                s2 = jnp.where(has_nee, s2 + c2 * vis, s2)
-                return s0, s1, s2
+            return process_trace
 
-            tfin = jnp.full((lanes,), t_max, jnp.float32)
-            trifin = jnp.full((lanes,), -1, jnp.int32)
-            stopped = jnp.zeros((lanes,), jnp.int32)
+        def prologue_bookkeeping(row, vis):
+            """Post-occlusion-sweep bookkeeping for one row: apply the NEE
+            visibility, flush terminate-after-NEE (flag==2) samples,
+            regenerate their pixels' next primaries. Returns the main-loop
+            init state."""
+            sample, bounce, flag = row["sample"], row["bounce"], row["flag"]
+            ox, oy, oz = row["o"]
+            dx, dy, dz = row["d"]
+            t0, t1, t2 = row["t"]
+            s0, s1, s2 = row["s"]
+            l0, l1, l2 = row["l"]
+            live, has_nee = row["live"], row["has_nee"]
+            c0, c1, c2 = row["c"]
+            lanes = sample.shape[0]
             one = jnp.float32(1.0)
 
-            if pair:
-                # --- fused first round (single-super flat scenes): the NEE
-                # occlusion sweep and the first closest sweep share one
-                # selection loop / one sync per iteration. Terminating lanes
-                # regenerate BEFORE the sweep (independent of the NEE
-                # result); their radiance bookkeeping — which needs the
-                # visibility — happens after, in the same float order as
-                # the split path.
-                term = live & (flag == 2)
-                sample = jnp.where(term, sample + 1, sample)
-                regen0 = term & (sample < nf)
-                nx, ny = _noise_rows(sample, nb0, nb1, iscal)
-                pox, poy, poz, pdx, pdy, pdz = _primary_rows(
-                    u_row, v_row, nx, ny, fscal)
-                ox = jnp.where(regen0, pox, ox)
-                oy = jnp.where(regen0, poy, oy)
-                oz = jnp.where(regen0, poz, oz)
-                dx = jnp.where(regen0, pdx, dx)
-                dy = jnp.where(regen0, pdy, dy)
-                dz = jnp.where(regen0, pdz, dz)
-                t0 = jnp.where(regen0, one, t0)
-                t1 = jnp.where(regen0, one, t1)
-                t2 = jnp.where(regen0, one, t2)
-                bounce = jnp.where(regen0, 1, bounce)
+            s0 = jnp.where(has_nee, s0 + c0 * vis, s0)
+            s1 = jnp.where(has_nee, s1 + c1 * vis, s1)
+            s2 = jnp.where(has_nee, s2 + c2 * vis, s2)
 
-                inflight0 = sample < nf
-                bound0 = jnp.where(inflight0, t_max, neg_inf)
-                ix = jnp.float32(1.0) / dx
-                iy = jnp.float32(1.0) / dy
-                iz = jnp.float32(1.0) / dz
-                bt0, btri0, occ = _pair_tile_sweep(
-                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
-                    (sox, soy, soz, sdx, sdy, sdz, six, siy, siz),
-                    shadow_bound,
-                    start_ref, cl_planes_ref, table_hbm, pair_entry, tbuf,
-                    cache_tag, sem,
-                )
-                vis = jnp.where(occ == 0, jnp.float32(1.0), jnp.float32(0.0))
-                s0, s1, s2 = apply_nee(vis, s0, s1, s2)
-                l0 = jnp.where(term, l0 + s0, l0)
-                l1 = jnp.where(term, l1 + s1, l1)
-                l2 = jnp.where(term, l2 + s2, l2)
-                s0 = jnp.where(term, jnp.float32(0.0), s0)
-                s1 = jnp.where(term, jnp.float32(0.0), s1)
-                s2 = jnp.where(term, jnp.float32(0.0), s2)
+            term = live & (flag == 2)
+            l0 = jnp.where(term, l0 + s0, l0)
+            l1 = jnp.where(term, l1 + s1, l1)
+            l2 = jnp.where(term, l2 + s2, l2)
+            s0 = jnp.where(term, jnp.float32(0.0), s0)
+            s1 = jnp.where(term, jnp.float32(0.0), s1)
+            s2 = jnp.where(term, jnp.float32(0.0), s2)
+            sample = jnp.where(term, sample + 1, sample)
+            regen0 = term & (sample < nf)
+            nx, ny = _noise_rows(sample, row["nb0"], row["nb1"], iscal)
+            pox, poy, poz, pdx, pdy, pdz = _primary_rows(
+                row["u"], row["v"], nx, ny, fscal)
+            ox = jnp.where(regen0, pox, ox)
+            oy = jnp.where(regen0, poy, oy)
+            oz = jnp.where(regen0, poz, oz)
+            dx = jnp.where(regen0, pdx, dx)
+            dy = jnp.where(regen0, pdy, dy)
+            dz = jnp.where(regen0, pdz, dz)
+            t0 = jnp.where(regen0, one, t0)
+            t1 = jnp.where(regen0, one, t1)
+            t2 = jnp.where(regen0, one, t2)
+            bounce = jnp.where(regen0, 1, bounce)
 
-                st = (sample, bounce, ox, oy, oz, dx, dy, dz,
-                      t0, t1, t2, s0, s1, s2, l0, l1, l2,
-                      tfin, trifin, stopped, jnp.int32(0))
-                st = process_trace(st, bt0, btri0)
-            else:
-                # --- split prologue: occlusion sweep, then terminate-after-
-                # NEE bookkeeping and regeneration.
-                if grouped:
-                    occ = _any_tile_sweep_grouped(
-                        (sox, soy, soz, sdx, sdy, sdz, six, siy, siz),
-                        shadow_bound,
-                        super_min_ref, super_max_ref, cl_planes_ref,
-                        table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                        num_supers,
-                    )
-                else:
-                    occ = _any_tile_sweep(
-                        (sox, soy, soz, sdx, sdy, sdz, six, siy, siz),
-                        shadow_bound,
-                        start_ref, super_min_ref, super_max_ref, cl_planes_ref,
-                        table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                        num_supers=num_supers,
-                    )
-                vis = jnp.where(occ == 0, jnp.float32(1.0), jnp.float32(0.0))
-                s0, s1, s2 = apply_nee(vis, s0, s1, s2)
+            return (sample, bounce, ox, oy, oz, dx, dy, dz,
+                    t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                    jnp.full((lanes,), t_max, jnp.float32),
+                    jnp.full((lanes,), -1, jnp.int32),
+                    jnp.zeros((lanes,), jnp.int32),
+                    jnp.max(jnp.where(sample < nf, 1, 0)).astype(jnp.int32))
 
-                term = live & (flag == 2)
-                l0 = jnp.where(term, l0 + s0, l0)
-                l1 = jnp.where(term, l1 + s1, l1)
-                l2 = jnp.where(term, l2 + s2, l2)
-                s0 = jnp.where(term, jnp.float32(0.0), s0)
-                s1 = jnp.where(term, jnp.float32(0.0), s1)
-                s2 = jnp.where(term, jnp.float32(0.0), s2)
-                sample = jnp.where(term, sample + 1, sample)
-                regen0 = term & (sample < nf)
-                nx, ny = _noise_rows(sample, nb0, nb1, iscal)
-                pox, poy, poz, pdx, pdy, pdz = _primary_rows(
-                    u_row, v_row, nx, ny, fscal)
-                ox = jnp.where(regen0, pox, ox)
-                oy = jnp.where(regen0, poy, oy)
-                oz = jnp.where(regen0, poz, oz)
-                dx = jnp.where(regen0, pdx, dx)
-                dy = jnp.where(regen0, pdy, dy)
-                dz = jnp.where(regen0, pdz, dz)
-                t0 = jnp.where(regen0, one, t0)
-                t1 = jnp.where(regen0, one, t1)
-                t2 = jnp.where(regen0, one, t2)
-                bounce = jnp.where(regen0, 1, bounce)
+        def pair_prologue(row):
+            """Fused first round (single-super flat scenes): the NEE
+            occlusion sweep and the first closest sweep share one selection
+            loop / one sync per iteration. Terminating lanes regenerate
+            BEFORE the sweep (independent of the NEE result); their radiance
+            bookkeeping — which needs the visibility — happens after, in the
+            same float order as the split path."""
+            sample, bounce, flag = row["sample"], row["bounce"], row["flag"]
+            ox, oy, oz = row["o"]
+            dx, dy, dz = row["d"]
+            t0, t1, t2 = row["t"]
+            s0, s1, s2 = row["s"]
+            l0, l1, l2 = row["l"]
+            live, has_nee = row["live"], row["has_nee"]
+            c0, c1, c2 = row["c"]
+            lanes = sample.shape[0]
+            one = jnp.float32(1.0)
 
-                st = (sample, bounce, ox, oy, oz, dx, dy, dz,
-                      t0, t1, t2, s0, s1, s2, l0, l1, l2,
-                      tfin, trifin, stopped,
-                      jnp.max(jnp.where(sample < nf, 1, 0)).astype(jnp.int32))
+            term = live & (flag == 2)
+            sample = jnp.where(term, sample + 1, sample)
+            regen0 = term & (sample < nf)
+            nx, ny = _noise_rows(sample, row["nb0"], row["nb1"], iscal)
+            pox, poy, poz, pdx, pdy, pdz = _primary_rows(
+                row["u"], row["v"], nx, ny, fscal)
+            ox = jnp.where(regen0, pox, ox)
+            oy = jnp.where(regen0, poy, oy)
+            oz = jnp.where(regen0, poz, oz)
+            dx = jnp.where(regen0, pdx, dx)
+            dy = jnp.where(regen0, pdy, dy)
+            dz = jnp.where(regen0, pdz, dz)
+            t0 = jnp.where(regen0, one, t0)
+            t1 = jnp.where(regen0, one, t1)
+            t2 = jnp.where(regen0, one, t2)
+            bounce = jnp.where(regen0, 1, bounce)
 
-            # --- main loop: trace to the next hit, consuming misses.
-            def cond(st):
-                return st[-1] > 0
+            inflight0 = sample < nf
+            bound0 = jnp.where(inflight0, t_max, neg_inf)
+            ix = jnp.float32(1.0) / dx
+            iy = jnp.float32(1.0) / dy
+            iz = jnp.float32(1.0) / dz
+            bt0, btri0, occ = _pair_tile_sweep(
+                (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
+                row["shadow"], row["shadow_bound"],
+                start_ref, cl_planes_ref, table_hbm, pair_entry, tbuf,
+                cache_tag, sem,
+            )
+            vis = jnp.where(occ == 0, jnp.float32(1.0), jnp.float32(0.0))
+            s0 = jnp.where(has_nee, s0 + c0 * vis, s0)
+            s1 = jnp.where(has_nee, s1 + c1 * vis, s1)
+            s2 = jnp.where(has_nee, s2 + c2 * vis, s2)
+            l0 = jnp.where(term, l0 + s0, l0)
+            l1 = jnp.where(term, l1 + s1, l1)
+            l2 = jnp.where(term, l2 + s2, l2)
+            s0 = jnp.where(term, jnp.float32(0.0), s0)
+            s1 = jnp.where(term, jnp.float32(0.0), s1)
+            s2 = jnp.where(term, jnp.float32(0.0), s2)
 
-            def one_round(st):
-                (sample, bounce, ox, oy, oz, dx, dy, dz,
-                 t0, t1, t2, s0, s1, s2, l0, l1, l2,
-                 tfin, trifin, stopped, _) = st
+            st = (sample, bounce, ox, oy, oz, dx, dy, dz,
+                  t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                  jnp.full((lanes,), t_max, jnp.float32),
+                  jnp.full((lanes,), -1, jnp.int32),
+                  jnp.zeros((lanes,), jnp.int32), jnp.int32(0))
+            return make_process_trace(row)(st, bt0, btri0)
 
-                inflight = (sample < nf) & (stopped == 0)
-                bound0 = jnp.where(inflight, t_max, neg_inf)
-                ix = jnp.float32(1.0) / dx
-                iy = jnp.float32(1.0) / dy
-                iz = jnp.float32(1.0) / dz
-                if grouped:
-                    bt, btri = _closest_tile_sweep_grouped(
-                        (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
-                        super_min_ref, super_max_ref, cl_planes_ref, start_ref,
-                        table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                        num_supers,
-                    )
-                else:
-                    bt, btri = _closest_tile_sweep(
-                        (ox, oy, oz, dx, dy, dz, ix, iy, iz), bound0,
-                        start_ref, super_min_ref, super_max_ref, cl_planes_ref,
-                        table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                        num_supers=num_supers,
-                    )
-                return process_trace(st, bt, btri)
-
-            def body(st):
-                # Rounds per while iteration: each scalar/vector sync
-                # (loop condition + selection argmins) costs as much as a
-                # sweep, and all-miss tiles (pure sky) run one round per
-                # sample — unrolling amortizes that overhead. A round with
-                # no in-flight lanes degenerates to a rejected sweep.
-                for _ in range(_ROUND_UNROLL):
-                    st = one_round(st)
-                return st
-
-            st = jax.lax.while_loop(cond, body, st)
+        def store_row(rt, st):
             (sample, bounce, ox, oy, oz, dx, dy, dz,
              t0, t1, t2, s0, s1, s2, l0, l1, l2,
              tfin, trifin, stopped, _) = st
-
             counters_out[rt, 0, :] = sample
             counters_out[rt, 1, :] = bounce
             ray_out[rt, 0, :] = ox
@@ -456,9 +441,100 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
             shade_out[rt, 8, :] = l2
             t_out[rt, 0, :] = tfin
             tri_out[rt, 0, :] = trifin
+
+        def per_group(gi, _):
+            rts = [gi * kr + k for k in range(kr)]
+            rows = [load_row(rt) for rt in rts]
+            pts = [make_process_trace(row) for row in rows]
+
+            if pair:
+                sts = [pair_prologue(rows[0])]
+            else:
+                # --- split prologue: occlusion sweep(s), then terminate-
+                # after-NEE bookkeeping and regeneration per row.
+                if grouped:
+                    occs = _any_tile_sweep_grouped(
+                        [row["shadow"] for row in rows],
+                        [row["shadow_bound"] for row in rows],
+                        super_min_ref, super_max_ref, cl_planes_ref,
+                        table_hbm, super_entries, cl_entries, tbuf,
+                        cache_tag, sem, num_supers,
+                    )
+                else:
+                    occs = [_any_tile_sweep(
+                        rows[0]["shadow"], rows[0]["shadow_bound"],
+                        start_ref, super_min_ref, super_max_ref,
+                        cl_planes_ref, table_hbm, super_entry, cl_entry,
+                        tbuf, cache_tag, sem, num_supers=num_supers,
+                    )]
+                sts = [
+                    prologue_bookkeeping(
+                        rows[k],
+                        jnp.where(occs[k] == 0, jnp.float32(1.0),
+                                  jnp.float32(0.0)),
+                    )
+                    for k in range(kr)
+                ]
+
+            # --- main loop: trace to the next hit, consuming misses.
+            def cond(flat):
+                tot = flat[_L - 1]
+                for k in range(1, kr):
+                    tot = tot + flat[k * _L + _L - 1]
+                return tot > 0
+
+            def one_round(flat):
+                sts = [flat[k * _L:(k + 1) * _L] for k in range(kr)]
+                rays9 = []
+                bounds = []
+                for st in sts:
+                    (sample, bounce, ox, oy, oz, dx, dy, dz) = st[0:8]
+                    stopped = st[19]
+                    inflight = (sample < nf) & (stopped == 0)
+                    bounds.append(jnp.where(inflight, t_max, neg_inf))
+                    rays9.append((
+                        ox, oy, oz, dx, dy, dz,
+                        jnp.float32(1.0) / dx,
+                        jnp.float32(1.0) / dy,
+                        jnp.float32(1.0) / dz,
+                    ))
+                if grouped:
+                    bts, btris = _closest_tile_sweep_grouped(
+                        rays9, bounds,
+                        super_min_ref, super_max_ref, cl_planes_ref,
+                        start_ref, table_hbm, super_entries, cl_entries,
+                        tbuf, cache_tag, sem, num_supers,
+                    )
+                else:
+                    bt, btri = _closest_tile_sweep(
+                        rays9[0], bounds[0],
+                        start_ref, super_min_ref, super_max_ref,
+                        cl_planes_ref, table_hbm, super_entry, cl_entry,
+                        tbuf, cache_tag, sem, num_supers=num_supers,
+                    )
+                    bts, btris = [bt], [btri]
+                out = []
+                for k in range(kr):
+                    out.extend(pts[k](sts[k], bts[k], btris[k]))
+                return tuple(out)
+
+            def body(flat):
+                # Rounds per while iteration: each scalar/vector sync
+                # (loop condition + selection argmins) costs as much as a
+                # sweep, and all-miss tiles (pure sky) run one round per
+                # sample — unrolling amortizes that overhead. A round with
+                # no in-flight lanes degenerates to a rejected sweep.
+                for _ in range(_ROUND_UNROLL):
+                    flat = one_round(flat)
+                return flat
+
+            flat = tuple(x for st in sts for x in st)
+            flat = jax.lax.while_loop(cond, body, flat)
+            for k, rt in enumerate(rts):
+                store_row(rt, flat[k * _L:(k + 1) * _L])
             return 0
 
-        jax.lax.fori_loop(0, rt_count, per_tile, 0)
+        jax.lax.fori_loop(0, rt_count // kr, per_group, 0)
 
     return kernel
 
@@ -872,7 +948,9 @@ def pallas_trace_regen(
         return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
 
     pair = _PAIR and not grouped and num_supers == 1
-    scratch_shapes = scratch(num_supers, tile)
+    from .pallas_walk import _krays
+
+    scratch_shapes = scratch(num_supers, tile, _krays(grouped, rt))
     if pair:
         # Stacked (closest | occlusion) entry table for the pair sweep.
         scratch_shapes = scratch_shapes + [

@@ -219,6 +219,15 @@ _SUB = int(os.environ.get("RAYFINDER_SUB", "1"))
 # (gather + MT + selection pass) outweighs the saved sync, the same
 # balance the pair sweep measured. Default 1.
 _GROUP_K = int(os.environ.get("RAYFINDER_GROUP_K", "1"))
+# Rays per lane in the grouped sweeps (K-aggregation): each lane owns KRAYS
+# rays from KRAYS consecutive ray tiles and serves whichever still has work
+# in the visited super, so the lockstep iteration count tracks the MEAN
+# per-lane workload instead of the per-tile MAX, and KRAYS tiles share each
+# super visit's DMA + entry build. Offline sim on TPU-dumped courtyard(26)
+# bounce rays (prof/sim_ksweep.py, validated against on-TPU counters):
+# K=4 contiguous cuts inner iterations 16.7 -> 7.9/tile and super visits
+# 11.8 -> 3.7/tile.
+KRAYS = int(os.environ.get("RAYFINDER_KRAYS", "4"))
 
 
 def _grouped_mode(num_clusters: int) -> bool:
@@ -340,24 +349,82 @@ def _mt_block_T(v, ox, oy, oz, dx, dy, dz, t_bound):
     return t_best, slot.astype(jnp.int32)
 
 
+def _sel_k(act, vals):
+    """Per-lane select over K (TILE,) vectors by act (TILE,) int32."""
+    out = vals[0]
+    for k in range(1, len(vals)):
+        out = jnp.where(act == k, vals[k], out)
+    return out
+
+
+def _act_and_select(masked_k):
+    """K-aggregated per-lane selection: each lane serves its FIRST ray set
+    with remaining work. masked_k: list of (rows, TILE) entry tables (+inf =
+    not needed under that ray's bound). Returns (jb, act, key): the per-lane
+    selected row (1, TILE), the per-lane active ray set (TILE,) int32, and
+    the global min (exit when +inf: every lane's every ray is drained)."""
+    if len(masked_k) == 1:
+        jb, key = _seg_select(masked_k[0])
+        return jb, jnp.zeros((masked_k[0].shape[1],), jnp.int32), key
+    tile = masked_k[0].shape[1]
+    act = jnp.full((tile,), len(masked_k) - 1, jnp.int32)
+    for k in reversed(range(len(masked_k) - 1)):
+        has = jnp.isfinite(jnp.min(masked_k[k], axis=0))
+        act = jnp.where(has, jnp.int32(k), act)
+    m_act = masked_k[-1]
+    for k in reversed(range(len(masked_k) - 1)):
+        m_act = jnp.where((act == k)[None, :], masked_k[k], m_act)
+    jb, key = _seg_select(m_act)
+    # key must stay finite while ANY set has work (a lane's later sets hide
+    # behind its first); take the min across all tables, not just actives.
+    for m in masked_k:
+        key = jnp.minimum(key, jnp.min(m))
+    return jb, act, key
+
+
+def _next_row_k(super_entries, bounds_k):
+    """Tile-uniform front-to-back super selection over K ray sets: the
+    nearest needing (lane, set) pair picks the super."""
+    m = None
+    for se, bt in zip(super_entries, bounds_k):
+        mk = jnp.where(se[:, :] < bt[None, :], se[:, :], jnp.inf)
+        m = mk if m is None else jnp.minimum(m, mk)
+    key = jnp.min(m, axis=1, keepdims=True)
+    j = jnp.argmin(key, axis=0)[0].astype(jnp.int32)
+    return j, jnp.min(key)
+
+
 def _closest_tile_sweep_grouped(
-    rays, bound0, super_min_ref, super_max_ref, cl_planes_ref, startf_ref,
-    tableT_hbm, super_entry, cl_entry, tbufT, cache_tag, sem,
+    rays_k, bound0_k, super_min_ref, super_max_ref, cl_planes_ref, startf_ref,
+    tableT_hbm, super_entries, cl_entries, tbufT, cache_tag, sem,
     num_supers: int,
 ):
-    """Grouped closest sweep: tile-uniform front-to-back over supers (as in
-    _closest_tile_sweep), per-8-lane-group front-to-back over each super's
-    clusters. startf_ref: (S, 8, SUPER_G) f32, row 0 = global leaf-order
-    cluster starts."""
-    ox, oy, oz, dx, dy, dz, ix, iy, iz = rays
-    tile = bound0.shape[0]
-    btri0 = jnp.full((tile,), -1, jnp.int32)
+    """Grouped closest sweep over K ray sets sharing one lane tile:
+    tile-uniform front-to-back over supers (as in _closest_tile_sweep),
+    PER-LANE front-to-back over each super's clusters, with each lane
+    serving whichever of its K rays still has work in the resident super
+    (K-aggregation: iterations track the mean per-lane workload instead of
+    the per-tile max, and K tiles share each super visit's DMA + entry
+    build — see KRAYS). startf_ref: (S, 8, SUPER_G) f32, row 0 = global
+    leaf-order cluster starts. rays_k/bound0_k/super_entries/cl_entries:
+    length-K lists. Returns (bts, btris) lists."""
+    K = len(rays_k)
+    tile = bound0_k[0].shape[0]
+    btri0_k = [jnp.full((tile,), -1, jnp.int32) for _ in range(K)]
+    oxs = [r[0] for r in rays_k]
+    oys = [r[1] for r in rays_k]
+    ozs = [r[2] for r in rays_k]
+    dxs = [r[3] for r in rays_k]
+    dys = [r[4] for r in rays_k]
+    dzs = [r[5] for r in rays_k]
 
-    def cluster_phase(s, bt, btri):
-        cl_entry[:, :] = _slab_entry_rows(
-            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
-            ox, oy, oz, ix, iy, iz, bt,
-        )
+    def cluster_phase(s, bts, btris):
+        for k in range(K):
+            cl_entries[k][:, :] = _slab_entry_rows(
+                cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+                oxs[k], oys[k], ozs[k],
+                rays_k[k][6], rays_k[k][7], rays_k[k][8], bts[k],
+            )
         # Selection runs over the (possibly shrunk) entry rows; the gather
         # spans the 128-aligned DMA'd table lanes (jb always < group_sel).
         group_sel = cl_planes_ref.shape[-1]
@@ -366,137 +433,194 @@ def _closest_tile_sweep_grouped(
         # so shuffle the full 8-row padded block and read row 0.
         starts_rows = startf_ref[s]
 
-        masked = jnp.where(cl_entry[:, :] < bt[None, :], cl_entry[:, :], jnp.inf)
-        jb0, key0 = _seg_select(masked)
+        def select(bts):
+            masked_k = [
+                jnp.where(
+                    cl_entries[k][:, :] < bts[k][None, :],
+                    cl_entries[k][:, :], jnp.inf,
+                )
+                for k in range(K)
+            ]
+            return _act_and_select(masked_k)
+
+        jb0, act0, key0 = select(bts)
 
         def g_cond(st):
-            return jnp.isfinite(st[3])
+            return jnp.isfinite(st[-1])
 
         def g_body(st):
-            bt, btri, jb, key = st
+            bts = list(st[0:K])
+            btris = list(st[K:2 * K])
+            jb, act, key = st[2 * K], st[2 * K + 1], st[2 * K + 2]
             for _ in range(_GROUP_K):
                 v = _gather_rows_T(tbufT, jb, range(9))
-                t_cand, slot = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bt)
+                ox = _sel_k(act, oxs)
+                oy = _sel_k(act, oys)
+                oz = _sel_k(act, ozs)
+                dx = _sel_k(act, dxs)
+                dy = _sel_k(act, dys)
+                dz = _sel_k(act, dzs)
+                bound = _sel_k(act, bts)
+                t_cand, slot = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bound)
                 start_lane = _gather_lanes(starts_rows, jb)[0]
-                better = t_cand < bt
                 tri = start_lane.astype(jnp.int32) + slot
-                bt = jnp.where(better, t_cand, bt)
-                btri = jnp.where(better, tri, btri)
-                cl_entry[:, :] = jnp.where(
-                    row_io_sel == jb, jnp.inf, cl_entry[:, :]
-                )
-                masked = jnp.where(
-                    cl_entry[:, :] < bt[None, :], cl_entry[:, :], jnp.inf
-                )
-                jb, key = _seg_select(masked)
-            return bt, btri, jb, key
+                for k in range(K):
+                    better = (act == k) & (t_cand < bts[k])
+                    bts[k] = jnp.where(better, t_cand, bts[k])
+                    btris[k] = jnp.where(better, tri, btris[k])
+                    cl_entries[k][:, :] = jnp.where(
+                        (row_io_sel == jb) & (act == k)[None, :],
+                        jnp.inf, cl_entries[k][:, :],
+                    )
+                jb, act, key = select(bts)
+            return (*bts, *btris, jb, act, key)
 
-        bt, btri, _, _ = jax.lax.while_loop(
-            g_cond, g_body, (bt, btri, jb0, key0)
+        st = jax.lax.while_loop(
+            g_cond, g_body, (*bts, *btris, jb0, act0, key0)
         )
-        return bt, btri
+        return list(st[0:K]), list(st[K:2 * K])
 
     if num_supers == 1:
         _fetch_super(tableT_hbm, tbufT, sem, cache_tag, jnp.int32(0))
-        return cluster_phase(0, bound0, btri0)
+        return cluster_phase(0, list(bound0_k), btri0_k)
 
-    super_entry[:, :] = _slab_entry_rows(
-        super_min_ref[:, :], super_max_ref[:, :],
-        ox, oy, oz, ix, iy, iz, bound0,
-    )
-    s0, k0 = _next_row(super_entry[:, :], bound0)
+    for k in range(K):
+        super_entries[k][:, :] = _slab_entry_rows(
+            super_min_ref[:, :], super_max_ref[:, :],
+            oxs[k], oys[k], ozs[k],
+            rays_k[k][6], rays_k[k][7], rays_k[k][8], bound0_k[k],
+        )
+    s0, k0 = _next_row_k(super_entries, bound0_k)
 
     def s_cond(state):
-        return jnp.isfinite(state[3])
+        return jnp.isfinite(state[-1])
 
     def s_body(state):
-        bt, btri, s, _ = state
+        bts = list(state[0:K])
+        btris = list(state[K:2 * K])
+        s = state[2 * K]
         _fetch_super(tableT_hbm, tbufT, sem, cache_tag, s)
-        bt, btri = cluster_phase(s, bt, btri)
-        super_entry[s, :] = jnp.full((tile,), jnp.inf, jnp.float32)
-        s_next, key = _next_row(super_entry[:, :], bt)
-        return bt, btri, s_next, key
+        bts, btris = cluster_phase(s, bts, btris)
+        inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
+        for k in range(K):
+            super_entries[k][s, :] = inf_row
+        s_next, key = _next_row_k(super_entries, bts)
+        return (*bts, *btris, s_next, key)
 
-    bt, btri, _, _ = jax.lax.while_loop(
-        s_cond, s_body, (bound0, btri0, s0, k0)
+    state = jax.lax.while_loop(
+        s_cond, s_body, (*bound0_k, *btri0_k, s0, k0)
     )
-    return bt, btri
+    return list(state[0:K]), list(state[K:2 * K])
 
 
 def _any_tile_sweep_grouped(
-    rays, tmax, super_min_ref, super_max_ref, cl_planes_ref,
-    tableT_hbm, super_entry, cl_entry, tbufT, cache_tag, sem,
+    rays_k, tmax_k, super_min_ref, super_max_ref, cl_planes_ref,
+    tableT_hbm, super_entries, cl_entries, tbufT, cache_tag, sem,
     num_supers: int,
 ):
-    """Grouped occlusion sweep (no slot/start bookkeeping; lanes drop to a
-    -inf bound the moment they occlude)."""
-    ox, oy, oz, dx, dy, dz, ix, iy, iz = rays
-    tile = tmax.shape[0]
+    """Grouped occlusion sweep over K ray sets (no slot/start bookkeeping;
+    lanes drop a ray to a -inf bound the moment it occludes). Returns a
+    length-K list of occ (TILE,) int32."""
+    K = len(rays_k)
+    tile = tmax_k[0].shape[0]
+    oxs = [r[0] for r in rays_k]
+    oys = [r[1] for r in rays_k]
+    ozs = [r[2] for r in rays_k]
+    dxs = [r[3] for r in rays_k]
+    dys = [r[4] for r in rays_k]
+    dzs = [r[5] for r in rays_k]
 
-    def pending_bound(occ):
-        return jnp.where(occ == 0, tmax, -jnp.inf)
+    def pending_bound(occ, k):
+        return jnp.where(occ == 0, tmax_k[k], -jnp.inf)
 
-    occ0 = jnp.zeros((tile,), jnp.int32)
+    occ0_k = [jnp.zeros((tile,), jnp.int32) for _ in range(K)]
 
-    def cluster_phase(s, occ):
-        cl_entry[:, :] = _slab_entry_rows(
-            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
-            ox, oy, oz, ix, iy, iz, pending_bound(occ),
-        )
+    def cluster_phase(s, occs):
+        for k in range(K):
+            cl_entries[k][:, :] = _slab_entry_rows(
+                cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+                oxs[k], oys[k], ozs[k],
+                rays_k[k][6], rays_k[k][7], rays_k[k][8],
+                pending_bound(occs[k], k),
+            )
         group_sel = cl_planes_ref.shape[-1]
         row_io_sel = jax.lax.broadcasted_iota(jnp.int32, (group_sel, tile), 0)
-        masked = jnp.where(
-            cl_entry[:, :] < pending_bound(occ)[None, :], cl_entry[:, :], jnp.inf
-        )
-        jb0, key0 = _seg_select(masked)
+
+        def select(occs):
+            masked_k = [
+                jnp.where(
+                    cl_entries[k][:, :] < pending_bound(occs[k], k)[None, :],
+                    cl_entries[k][:, :], jnp.inf,
+                )
+                for k in range(K)
+            ]
+            return _act_and_select(masked_k)
+
+        jb0, act0, key0 = select(occs)
 
         def g_cond(st):
-            return jnp.isfinite(st[2])
+            return jnp.isfinite(st[-1])
 
         def g_body(st):
-            occ, jb, key = st
+            occs = list(st[0:K])
+            jb, act, key = st[K], st[K + 1], st[K + 2]
             for _ in range(_GROUP_K):
                 v = _gather_rows_T(tbufT, jb, range(9))
-                t_cand, _ = _mt_block_T(
-                    v, ox, oy, oz, dx, dy, dz, pending_bound(occ)
-                )
-                occ = jnp.where(jnp.isfinite(t_cand), jnp.int32(1), occ)
-                cl_entry[:, :] = jnp.where(
-                    row_io_sel == jb, jnp.inf, cl_entry[:, :]
-                )
-                masked = jnp.where(
-                    cl_entry[:, :] < pending_bound(occ)[None, :],
-                    cl_entry[:, :], jnp.inf,
-                )
-                jb, key = _seg_select(masked)
-            return occ, jb, key
+                ox = _sel_k(act, oxs)
+                oy = _sel_k(act, oys)
+                oz = _sel_k(act, ozs)
+                dx = _sel_k(act, dxs)
+                dy = _sel_k(act, dys)
+                dz = _sel_k(act, dzs)
+                bound = _sel_k(act, [pending_bound(occs[k], k) for k in range(K)])
+                t_cand, _ = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bound)
+                hit = jnp.isfinite(t_cand)
+                for k in range(K):
+                    occs[k] = jnp.where(
+                        (act == k) & hit, jnp.int32(1), occs[k]
+                    )
+                    cl_entries[k][:, :] = jnp.where(
+                        (row_io_sel == jb) & (act == k)[None, :],
+                        jnp.inf, cl_entries[k][:, :],
+                    )
+                jb, act, key = select(occs)
+            return (*occs, jb, act, key)
 
-        occ, _, _ = jax.lax.while_loop(g_cond, g_body, (occ, jb0, key0))
-        return occ
+        st = jax.lax.while_loop(g_cond, g_body, (*occs, jb0, act0, key0))
+        return list(st[0:K])
 
     if num_supers == 1:
         _fetch_super(tableT_hbm, tbufT, sem, cache_tag, jnp.int32(0))
-        return cluster_phase(0, occ0)
+        return cluster_phase(0, occ0_k)
 
-    super_entry[:, :] = _slab_entry_rows(
-        super_min_ref[:, :], super_max_ref[:, :],
-        ox, oy, oz, ix, iy, iz, tmax,
+    for k in range(K):
+        super_entries[k][:, :] = _slab_entry_rows(
+            super_min_ref[:, :], super_max_ref[:, :],
+            oxs[k], oys[k], ozs[k],
+            rays_k[k][6], rays_k[k][7], rays_k[k][8], tmax_k[k],
+        )
+    s0, k0 = _next_row_k(
+        super_entries, [pending_bound(occ0_k[k], k) for k in range(K)]
     )
-    s0, k0 = _next_row(super_entry[:, :], pending_bound(occ0))
 
     def s_cond(state):
-        return jnp.isfinite(state[2])
+        return jnp.isfinite(state[-1])
 
     def s_body(state):
-        occ, s, _ = state
+        occs = list(state[0:K])
+        s = state[K]
         _fetch_super(tableT_hbm, tbufT, sem, cache_tag, s)
-        occ = cluster_phase(s, occ)
-        super_entry[s, :] = jnp.full((tile,), jnp.inf, jnp.float32)
-        s_next, key = _next_row(super_entry[:, :], pending_bound(occ))
-        return occ, s_next, key
+        occs = cluster_phase(s, occs)
+        inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
+        for k in range(K):
+            super_entries[k][s, :] = inf_row
+        s_next, key = _next_row_k(
+            super_entries, [pending_bound(occs[k], k) for k in range(K)]
+        )
+        return (*occs, s_next, key)
 
-    occ, _, _ = jax.lax.while_loop(s_cond, s_body, (occ0, s0, k0))
-    return occ
+    state = jax.lax.while_loop(s_cond, s_body, (*occ0_k, s0, k0))
+    return list(state[0:K])
 
 
 def _scene_tables_grouped(scene):
@@ -818,14 +942,27 @@ def _pair_tile_sweep(
     return state[0], state[1], state[2]
 
 
+def _krays(grouped: bool, rt_count: int) -> int:
+    """Rays per lane for a grouped kernel: KRAYS when it divides the
+    per-grid-step tile count, else 1 (flat sweeps are always 1)."""
+    if not grouped or rt_count % KRAYS:
+        return 1
+    return KRAYS
+
+
 def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int,
                          grouped: bool = False):
+    kr = _krays(grouped, rt_count)
+
     def kernel(
         o_ref, d_ref, tmax_ref, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
         t_out_ref, tri_out_ref,
-        super_entry, cl_entry, tbuf, cache_tag, sem,
+        *scratch,
     ):
+        super_entries = list(scratch[0:kr])
+        cl_entries = list(scratch[kr:2 * kr])
+        tbuf, cache_tag, sem = scratch[2 * kr:2 * kr + 3]
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -834,29 +971,32 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int,
 
         # fori_loop with a dynamic leading-dim tile index: the sweep body
         # compiles once instead of rt_count times (Mosaic compile time).
-        def per_tile(rt, _):
-            (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
-                o_ref, d_ref, tmax_ref, rt
-            )
+        def per_group(gi, _):
+            rts = [gi * kr + k for k in range(kr)]
+            regs = [_ray_regs(o_ref, d_ref, tmax_ref, rt) for rt in rts]
             if grouped:
-                bt, btri = _closest_tile_sweep_grouped(
-                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
+                bts, btris = _closest_tile_sweep_grouped(
+                    [(o + d + inv) for (o, d, inv, _) in regs],
+                    [tmax for (_, _, _, tmax) in regs],
                     super_min_ref, super_max_ref, cl_planes_ref, start_ref,
-                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                    num_supers,
+                    table_hbm, super_entries, cl_entries, tbuf, cache_tag,
+                    sem, num_supers,
                 )
             else:
+                ((ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax) = regs[0]
                 bt, btri = _closest_tile_sweep(
                     (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
                     start_ref, super_min_ref, super_max_ref, cl_planes_ref,
-                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                    num_supers=num_supers,
+                    table_hbm, super_entries[0], cl_entries[0], tbuf,
+                    cache_tag, sem, num_supers=num_supers,
                 )
-            t_out_ref[rt, 0, :] = bt
-            tri_out_ref[rt, 0, :] = btri
+                bts, btris = [bt], [btri]
+            for k, rt in enumerate(rts):
+                t_out_ref[rt, 0, :] = bts[k]
+                tri_out_ref[rt, 0, :] = btris[k]
             return 0
 
-        jax.lax.fori_loop(0, rt_count, per_tile, 0)
+        jax.lax.fori_loop(0, rt_count // kr, per_group, 0)
 
     return kernel
 
@@ -939,40 +1079,47 @@ def _any_tile_sweep(
 
 def _make_any_kernel(leaf: int, num_supers: int, rt_count: int,
                      grouped: bool = False):
+    kr = _krays(grouped, rt_count)
+
     def kernel(
         o_ref, d_ref, tmax_ref, start_ref, super_min_ref, super_max_ref,
         cl_planes_ref, table_hbm,
         occ_out_ref,
-        super_entry, cl_entry, tbuf, cache_tag, sem,
+        *scratch,
     ):
+        super_entries = list(scratch[0:kr])
+        cl_entries = list(scratch[kr:2 * kr])
+        tbuf, cache_tag, sem = scratch[2 * kr:2 * kr + 3]
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             cache_tag[0] = jnp.int32(-1)
 
-        def per_tile(rt, _):
-            (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
-                o_ref, d_ref, tmax_ref, rt
-            )
+        def per_group(gi, _):
+            rts = [gi * kr + k for k in range(kr)]
+            regs = [_ray_regs(o_ref, d_ref, tmax_ref, rt) for rt in rts]
             if grouped:
-                occ = _any_tile_sweep_grouped(
-                    (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
+                occs = _any_tile_sweep_grouped(
+                    [(o + d + inv) for (o, d, inv, _) in regs],
+                    [tmax for (_, _, _, tmax) in regs],
                     super_min_ref, super_max_ref, cl_planes_ref,
-                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                    num_supers,
+                    table_hbm, super_entries, cl_entries, tbuf, cache_tag,
+                    sem, num_supers,
                 )
             else:
-                occ = _any_tile_sweep(
+                ((ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax) = regs[0]
+                occs = [_any_tile_sweep(
                     (ox, oy, oz, dx, dy, dz, ix, iy, iz), tmax,
                     start_ref, super_min_ref, super_max_ref, cl_planes_ref,
-                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
-                    num_supers=num_supers,
-                )
-            occ_out_ref[rt, 0, :] = occ
+                    table_hbm, super_entries[0], cl_entries[0], tbuf,
+                    cache_tag, sem, num_supers=num_supers,
+                )]
+            for k, rt in enumerate(rts):
+                occ_out_ref[rt, 0, :] = occs[k]
             return 0
 
-        jax.lax.fori_loop(0, rt_count, per_tile, 0)
+        jax.lax.fori_loop(0, rt_count // kr, per_group, 0)
 
     return kernel
 
@@ -1056,14 +1203,18 @@ def _walk_tables_and_specs(scene):
         start_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         cl_rows, tbuf_shape = SUPER, (9, SUPER, leaf)
 
-    def scratch(num_supers, tile):
-        return [
-            pltpu.VMEM((num_supers, tile), jnp.float32),
-            pltpu.VMEM((cl_rows, tile), jnp.float32),
-            pltpu.VMEM(tbuf_shape, jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ]
+    def scratch(num_supers, tile, kr=1):
+        # kr super-entry tables + kr cluster-entry tables (K-aggregation:
+        # one per resident ray set), one shared triangle buffer + DMA slot.
+        return (
+            [pltpu.VMEM((num_supers, tile), jnp.float32) for _ in range(kr)]
+            + [pltpu.VMEM((cl_rows, tile), jnp.float32) for _ in range(kr)]
+            + [
+                pltpu.VMEM(tbuf_shape, jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ]
+        )
 
     return grouped, (table, starts, super_min, super_max, cl_planes), start_spec, scratch
 
@@ -1098,7 +1249,7 @@ def _common_call(scene, origin, direction, t_max, kernel_factory, out_dtypes):
             for _ in out_dtypes
         ],
         out_shape=[jax.ShapeDtypeStruct((tiles, 1, tile), dt) for dt in out_dtypes],
-        scratch_shapes=scratch(num_supers, tile),
+        scratch_shapes=scratch(num_supers, tile, _krays(grouped, rt)),
         interpret=_interpret(),
     )(o, d, tm, starts, super_min, super_max, cl_planes, table)
     return outs, n, t_max
