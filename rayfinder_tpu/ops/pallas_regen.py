@@ -193,6 +193,9 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
         cl_entries = list(scratch[kr:2 * kr])
         tbuf, cache_tag, sem = scratch[2 * kr:2 * kr + 3]
         super_entry, cl_entry = super_entries[0], cl_entries[0]
+        # kr > 1 appends the monotone-act ACTIVE entry table; pair (kr == 1,
+        # never grouped) appends its stacked entry table at the same slot.
+        cur_entry = scratch[2 * kr + 3] if kr > 1 else None
         pair_entry = scratch[2 * kr + 3] if pair else None
         g = pl.program_id(0)
 
@@ -458,7 +461,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                         [row["shadow_bound"] for row in rows],
                         super_min_ref, super_max_ref, cl_planes_ref,
                         table_hbm, super_entries, cl_entries, tbuf,
-                        cache_tag, sem, num_supers,
+                        cache_tag, sem, num_supers, cur_entry=cur_entry,
                     )
                 else:
                     occs = [_any_tile_sweep(
@@ -504,6 +507,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                         super_min_ref, super_max_ref, cl_planes_ref,
                         start_ref, table_hbm, super_entries, cl_entries,
                         tbuf, cache_tag, sem, num_supers,
+                        cur_entry=cur_entry,
                     )
                 else:
                     bt, btri = _closest_tile_sweep(

@@ -228,6 +228,18 @@ _GROUP_K = int(os.environ.get("RAYFINDER_GROUP_K", "1"))
 # K=4 contiguous cuts inner iterations 16.7 -> 7.9/tile and super visits
 # 11.8 -> 3.7/tile.
 KRAYS = int(os.environ.get("RAYFINDER_KRAYS", "4"))
+# Monotone-act selection for K-aggregated sweeps (RAYFINDER_ACTSEL=0 reverts
+# to the K-table merge). The K=4 aggregation benched NEUTRAL (3.44 vs 3.45
+# Mrays/s) because _act_and_select's per-iteration cost scales with K: K
+# masked-table builds, K min-reduces, a (K-1)-where merge, K key reduces and
+# K conditional erases — ~21 (G, TILE) table ops/iteration vs ~6 at K=1,
+# eating the 53% iteration cut. This path keeps ONE (G, TILE) ACTIVE entry
+# table per lane plus a forward-only per-lane table pointer (bounds only
+# shrink and erases only remove entries, so a drained table stays drained —
+# serving each lane's rays strictly in order is exactly what
+# _act_and_select's first-finite rule already did): ~9 table ops/iteration
+# independent of K.
+_ACTSEL = os.environ.get("RAYFINDER_ACTSEL", "1") == "1"
 
 
 def _grouped_mode(num_clusters: int) -> bool:
@@ -382,6 +394,65 @@ def _act_and_select(masked_k):
     return jb, act, key
 
 
+def _advance_tab(act, has_k):
+    """Smallest table index > act with build-time work (has_k bits from the
+    super-visit entry build); act itself when none remains. act = -1 yields
+    each lane's FIRST table with work."""
+    nxt = act
+    for k in range(len(has_k) - 1, -1, -1):
+        nxt = jnp.where(has_k[k] & (k > act), jnp.int32(k), nxt)
+    return nxt
+
+
+def _load_tab(cl_entries, act):
+    """Per-lane column select over the K entry tables: lane i's column comes
+    from cl_entries[act[i]]. (K-1) table wheres."""
+    out = cl_entries[0][:, :]
+    for k in range(1, len(cl_entries)):
+        out = jnp.where((act == k)[None, :], cl_entries[k][:, :], out)
+    return out
+
+
+def _act_select(cur_entry, cl_entries, act, bounds_k, has_k):
+    """Monotone-act per-lane selection over the single ACTIVE entry table.
+
+    Each lane sweeps its K rays' cluster tables strictly in order. A lane
+    whose active table drains under its CURRENT bound advances one table per
+    selection round, skipping tables that were already empty at build time
+    (has_k); a table that was live at build but drained since (its ray's
+    bound shrank) costs one spurious round to step past. Termination: act
+    strictly increases on advance and is bounded by K-1.
+
+    Writes advanced lanes' fresh columns into cur_entry. Returns
+    (jb, act, key) with the _act_and_select contract: key stays finite while
+    any lane has work left in ANY of its tables (pending advances count)."""
+    bound = _sel_k(act, bounds_k)
+    masked = jnp.where(cur_entry[:, :] < bound[None, :], cur_entry[:, :],
+                       jnp.inf)
+    m = jnp.min(masked, axis=0)
+    nxt = _advance_tab(act, has_k)
+    can_adv = ~jnp.isfinite(m) & (nxt > act)
+    act2 = jnp.where(can_adv, nxt, act)
+    cur2 = jnp.where(can_adv[None, :], _load_tab(cl_entries, act2),
+                     cur_entry[:, :])
+    cur_entry[:, :] = cur2
+    bound2 = _sel_k(act2, bounds_k)
+    masked2 = jnp.where(
+        can_adv[None, :],
+        jnp.where(cur2 < bound2[None, :], cur2, jnp.inf),
+        masked,
+    )
+    jb, key = _seg_select(masked2)
+    # A lane may still hold work behind a stale-drained table: keep the loop
+    # alive while any lane can advance further.
+    m2 = jnp.min(masked2, axis=0)
+    pend = ~jnp.isfinite(m2) & (_advance_tab(act2, has_k) > act2)
+    key = jnp.minimum(
+        key, jnp.min(jnp.where(pend, jnp.float32(0.0), jnp.inf))
+    )
+    return jb, act2, key
+
+
 def _next_row_k(super_entries, bounds_k):
     """Tile-uniform front-to-back super selection over K ray sets: the
     nearest needing (lane, set) pair picks the super."""
@@ -397,7 +468,7 @@ def _next_row_k(super_entries, bounds_k):
 def _closest_tile_sweep_grouped(
     rays_k, bound0_k, super_min_ref, super_max_ref, cl_planes_ref, startf_ref,
     tableT_hbm, super_entries, cl_entries, tbufT, cache_tag, sem,
-    num_supers: int,
+    num_supers: int, cur_entry=None,
 ):
     """Grouped closest sweep over K ray sets sharing one lane tile:
     tile-uniform front-to-back over supers (as in _closest_tile_sweep),
@@ -418,6 +489,8 @@ def _closest_tile_sweep_grouped(
     dys = [r[4] for r in rays_k]
     dzs = [r[5] for r in rays_k]
 
+    use_act = K > 1 and _ACTSEL and cur_entry is not None
+
     def cluster_phase(s, bts, btris):
         for k in range(K):
             cl_entries[k][:, :] = _slab_entry_rows(
@@ -433,17 +506,44 @@ def _closest_tile_sweep_grouped(
         # so shuffle the full 8-row padded block and read row 0.
         starts_rows = startf_ref[s]
 
-        def select(bts):
-            masked_k = [
-                jnp.where(
-                    cl_entries[k][:, :] < bts[k][None, :],
-                    cl_entries[k][:, :], jnp.inf,
-                )
+        if use_act:
+            has_k = [
+                jnp.isfinite(jnp.min(cl_entries[k][:, :], axis=0))
                 for k in range(K)
             ]
-            return _act_and_select(masked_k)
+            act_start = jnp.maximum(
+                _advance_tab(jnp.full((tile,), -1, jnp.int32), has_k), 0
+            )
+            cur_entry[:, :] = _load_tab(cl_entries, act_start)
 
-        jb0, act0, key0 = select(bts)
+            def select(bts, act):
+                return _act_select(cur_entry, cl_entries, act, bts, has_k)
+
+            def erase(jb, act):
+                cur_entry[:, :] = jnp.where(
+                    row_io_sel == jb, jnp.inf, cur_entry[:, :]
+                )
+        else:
+            act_start = jnp.zeros((tile,), jnp.int32)
+
+            def select(bts, act):
+                masked_k = [
+                    jnp.where(
+                        cl_entries[k][:, :] < bts[k][None, :],
+                        cl_entries[k][:, :], jnp.inf,
+                    )
+                    for k in range(K)
+                ]
+                return _act_and_select(masked_k)
+
+            def erase(jb, act):
+                for k in range(K):
+                    cl_entries[k][:, :] = jnp.where(
+                        (row_io_sel == jb) & (act == k)[None, :],
+                        jnp.inf, cl_entries[k][:, :],
+                    )
+
+        jb0, act0, key0 = select(bts, act_start)
 
         def g_cond(st):
             return jnp.isfinite(st[-1])
@@ -468,11 +568,8 @@ def _closest_tile_sweep_grouped(
                     better = (act == k) & (t_cand < bts[k])
                     bts[k] = jnp.where(better, t_cand, bts[k])
                     btris[k] = jnp.where(better, tri, btris[k])
-                    cl_entries[k][:, :] = jnp.where(
-                        (row_io_sel == jb) & (act == k)[None, :],
-                        jnp.inf, cl_entries[k][:, :],
-                    )
-                jb, act, key = select(bts)
+                erase(jb, act)
+                jb, act, key = select(bts, act)
             return (*bts, *btris, jb, act, key)
 
         st = jax.lax.while_loop(
@@ -516,7 +613,7 @@ def _closest_tile_sweep_grouped(
 def _any_tile_sweep_grouped(
     rays_k, tmax_k, super_min_ref, super_max_ref, cl_planes_ref,
     tableT_hbm, super_entries, cl_entries, tbufT, cache_tag, sem,
-    num_supers: int,
+    num_supers: int, cur_entry=None,
 ):
     """Grouped occlusion sweep over K ray sets (no slot/start bookkeeping;
     lanes drop a ray to a -inf bound the moment it occludes). Returns a
@@ -535,6 +632,8 @@ def _any_tile_sweep_grouped(
 
     occ0_k = [jnp.zeros((tile,), jnp.int32) for _ in range(K)]
 
+    use_act = K > 1 and _ACTSEL and cur_entry is not None
+
     def cluster_phase(s, occs):
         for k in range(K):
             cl_entries[k][:, :] = _slab_entry_rows(
@@ -546,17 +645,47 @@ def _any_tile_sweep_grouped(
         group_sel = cl_planes_ref.shape[-1]
         row_io_sel = jax.lax.broadcasted_iota(jnp.int32, (group_sel, tile), 0)
 
-        def select(occs):
-            masked_k = [
-                jnp.where(
-                    cl_entries[k][:, :] < pending_bound(occs[k], k)[None, :],
-                    cl_entries[k][:, :], jnp.inf,
-                )
+        if use_act:
+            has_k = [
+                jnp.isfinite(jnp.min(cl_entries[k][:, :], axis=0))
                 for k in range(K)
             ]
-            return _act_and_select(masked_k)
+            act_start = jnp.maximum(
+                _advance_tab(jnp.full((tile,), -1, jnp.int32), has_k), 0
+            )
+            cur_entry[:, :] = _load_tab(cl_entries, act_start)
 
-        jb0, act0, key0 = select(occs)
+            def select(occs, act):
+                bounds_k = [pending_bound(occs[k], k) for k in range(K)]
+                return _act_select(cur_entry, cl_entries, act, bounds_k,
+                                   has_k)
+
+            def erase(jb, act):
+                cur_entry[:, :] = jnp.where(
+                    row_io_sel == jb, jnp.inf, cur_entry[:, :]
+                )
+        else:
+            act_start = jnp.zeros((tile,), jnp.int32)
+
+            def select(occs, act):
+                masked_k = [
+                    jnp.where(
+                        cl_entries[k][:, :]
+                        < pending_bound(occs[k], k)[None, :],
+                        cl_entries[k][:, :], jnp.inf,
+                    )
+                    for k in range(K)
+                ]
+                return _act_and_select(masked_k)
+
+            def erase(jb, act):
+                for k in range(K):
+                    cl_entries[k][:, :] = jnp.where(
+                        (row_io_sel == jb) & (act == k)[None, :],
+                        jnp.inf, cl_entries[k][:, :],
+                    )
+
+        jb0, act0, key0 = select(occs, act_start)
 
         def g_cond(st):
             return jnp.isfinite(st[-1])
@@ -579,11 +708,8 @@ def _any_tile_sweep_grouped(
                     occs[k] = jnp.where(
                         (act == k) & hit, jnp.int32(1), occs[k]
                     )
-                    cl_entries[k][:, :] = jnp.where(
-                        (row_io_sel == jb) & (act == k)[None, :],
-                        jnp.inf, cl_entries[k][:, :],
-                    )
-                jb, act, key = select(occs)
+                erase(jb, act)
+                jb, act, key = select(occs, act)
             return (*occs, jb, act, key)
 
         st = jax.lax.while_loop(g_cond, g_body, (*occs, jb0, act0, key0))
@@ -963,6 +1089,7 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int,
         super_entries = list(scratch[0:kr])
         cl_entries = list(scratch[kr:2 * kr])
         tbuf, cache_tag, sem = scratch[2 * kr:2 * kr + 3]
+        cur_entry = scratch[2 * kr + 3] if kr > 1 else None
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -980,7 +1107,7 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int,
                     [tmax for (_, _, _, tmax) in regs],
                     super_min_ref, super_max_ref, cl_planes_ref, start_ref,
                     table_hbm, super_entries, cl_entries, tbuf, cache_tag,
-                    sem, num_supers,
+                    sem, num_supers, cur_entry=cur_entry,
                 )
             else:
                 ((ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax) = regs[0]
@@ -1090,6 +1217,7 @@ def _make_any_kernel(leaf: int, num_supers: int, rt_count: int,
         super_entries = list(scratch[0:kr])
         cl_entries = list(scratch[kr:2 * kr])
         tbuf, cache_tag, sem = scratch[2 * kr:2 * kr + 3]
+        cur_entry = scratch[2 * kr + 3] if kr > 1 else None
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -1105,7 +1233,7 @@ def _make_any_kernel(leaf: int, num_supers: int, rt_count: int,
                     [tmax for (_, _, _, tmax) in regs],
                     super_min_ref, super_max_ref, cl_planes_ref,
                     table_hbm, super_entries, cl_entries, tbuf, cache_tag,
-                    sem, num_supers,
+                    sem, num_supers, cur_entry=cur_entry,
                 )
             else:
                 ((ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax) = regs[0]
@@ -1206,6 +1334,8 @@ def _walk_tables_and_specs(scene):
     def scratch(num_supers, tile, kr=1):
         # kr super-entry tables + kr cluster-entry tables (K-aggregation:
         # one per resident ray set), one shared triangle buffer + DMA slot.
+        # kr > 1 appends the ACTIVE entry table for the monotone-act
+        # selection (_act_select) at index 2*kr + 3.
         return (
             [pltpu.VMEM((num_supers, tile), jnp.float32) for _ in range(kr)]
             + [pltpu.VMEM((cl_rows, tile), jnp.float32) for _ in range(kr)]
@@ -1214,6 +1344,7 @@ def _walk_tables_and_specs(scene):
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
             ]
+            + ([pltpu.VMEM((cl_rows, tile), jnp.float32)] if kr > 1 else [])
         )
 
     return grouped, (table, starts, super_min, super_max, cl_planes), start_spec, scratch

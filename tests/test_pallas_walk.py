@@ -129,3 +129,12 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
         np.testing.assert_array_equal(occf, occg)
         np.testing.assert_array_equal(trif, trig)
         np.testing.assert_allclose(tf, tg, rtol=0, atol=0)
+
+    # Both K-aggregated selection paths (monotone-act _act_select and the
+    # K-table merge _act_and_select) must agree exactly on the multi-super
+    # scene (visit order may differ; MT numerics and accepts may not).
+    assert pw._ACTSEL, "default must be the monotone-act path"
+    monkeypatch.setattr(pw, "_ACTSEL", False)
+    tm, trim, occm = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
+    np.testing.assert_array_equal(occm, occg)
+    np.testing.assert_array_equal(trim, trig)
