@@ -125,6 +125,66 @@ def main() -> None:
         print(f"bench: hit-rate diagnostic failed: {e!r}", file=sys.stderr)
 
 
+def main_courtyard() -> None:
+    """Big-scene child (the PRIMARY metric per BASELINE.md): courtyard 254K
+    tris, 512x512 window, 4 bounces, fused regen accumulator with exact ray
+    accounting — the same measurement as prof/bench_courtyard.py, emitted as
+    a JSON line so the parent can fold it into the driver's single line."""
+    import jax
+    import jax.numpy as jnp
+
+    from rayfinder_tpu.render.camera import create_camera
+    from rayfinder_tpu.render.pathtracer import accumulate_samples_regen
+    from rayfinder_tpu.render.rng import blue_noise_tile
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+    from rayfinder_tpu.sky.model import sky_state_from_ui
+
+    w, h, nf, bounces = 512, 512, int(os.environ.get("RAYFINDER_COURT_SAMPLES", "16")), 4
+    flat, textures = courtyard_scene(26)
+    scene = build_device_scene(flat, textures=textures)
+    camera = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, w / h)
+    sky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
+    tile = jnp.asarray(blue_noise_tile())
+    fence = jax.jit(lambda a: jnp.sum(a))
+
+    def step(fb, accum):
+        return accumulate_samples_regen(
+            scene, sky, camera, tile, jnp.int32(fb), accum,
+            width=w, height=h, num_bounces=bounces, spp=256, num_frames=nf,
+            engine="pallas", count_rays=True)
+
+    accum = jnp.zeros((w * h, 3), jnp.float32)
+    accum, _ = step(0, accum)
+    float(fence(accum))
+    t0 = time.time()
+    accum, rays = step(nf, accum)
+    float(fence(accum))
+    dt = time.time() - t0
+
+    closest, shadow = (int(x) for x in np.asarray(rays))
+    total = closest + shadow
+    mrays = total / dt / 1e6
+    # Extrapolated wall time for the showcase target: 1080p at 1024 spp is
+    # (1920*1080*1024)/(512*512*nf) times the timed window's sample work.
+    t1024 = dt * (1920 * 1080 * 1024) / (w * h * nf)
+    print(
+        json.dumps(
+            {
+                "metric": "courtyard_512x512_4bounce_path_trace",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s/chip",
+                "time_to_1024spp_1080p_s": round(t1024, 1),
+            }
+        ),
+        flush=True,
+    )
+    print(
+        f"courtyard rays={total} (closest={closest} shadow={shadow}) dt={dt:.3f}s",
+        file=sys.stderr,
+    )
+
+
 def _primary_hit_rate(scene, camera) -> float:
     import jax.numpy as jnp
 
@@ -215,10 +275,51 @@ def _try_engines(deadline: float) -> str | None:
     return None
 
 
+def _try_courtyard(deadline: float) -> dict | None:
+    """Run the courtyard child once (child-isolated like the Duck ladder);
+    returns its parsed JSON dict or None. Cheap relative to Duck (single
+    fused dispatch per batch) but compiles are slow cold, so it gets a
+    generous per-attempt timeout inside the remaining budget."""
+    remaining = deadline - time.time()
+    if remaining < 120.0:
+        return None
+    env = dict(os.environ)
+    env["RAYFINDER_BENCH_CHILD"] = "courtyard"
+    t0 = time.time()
+    stdout = stderr = ""
+    status = "timed out"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            timeout=min(2400.0, remaining),
+            env=env,
+        )
+        stdout, stderr, status = r.stdout, r.stderr, f"exited {r.returncode}"
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"").decode(errors="replace") if isinstance(e.stdout, bytes) else (e.stdout or "")
+        stderr = (e.stderr or b"").decode(errors="replace") if isinstance(e.stderr, bytes) else (e.stderr or "")
+    print(
+        f"bench: courtyard child {status} after {time.time() - t0:.0f}s",
+        file=sys.stderr,
+    )
+    sys.stderr.write(stderr or "")
+    for line in (stdout or "").splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return None
+    return None
+
+
 def _parent() -> None:
     budget = float(os.environ.get("RAYFINDER_BENCH_BUDGET_S", "3600"))
     deadline = time.time() + budget
     attempt = 0
+    duck: dict | None = None
     while time.time() < deadline:
         attempt += 1
         remaining = deadline - time.time()
@@ -233,14 +334,34 @@ def _parent() -> None:
             continue
         line = _try_engines(deadline)
         if line is not None:
-            print(line)
-            return
+            try:
+                duck = json.loads(line)
+            except json.JSONDecodeError:
+                duck = None
+            if duck is not None:
+                break
         time.sleep(min(60.0, max(0.0, deadline - time.time())))
-    print(_fail_line())
+    if duck is None:
+        print(_fail_line())
+        return
+    # Primary metric (BASELINE.md): Sponza-class Mrays/s. Fold the courtyard
+    # number into the SAME single line so the driver records it every round.
+    court = _try_courtyard(deadline)
+    if court is None and time.time() < deadline:
+        time.sleep(30.0)  # one retry after a possible worker fault
+        court = _try_courtyard(deadline)
+    duck["courtyard_mrays"] = float(court.get("value", 0.0)) if court else 0.0
+    duck["time_to_1024spp_1080p_s"] = (
+        float(court.get("time_to_1024spp_1080p_s", 0.0)) if court else 0.0
+    )
+    print(json.dumps(duck))
 
 
 if __name__ == "__main__":
-    if os.environ.get("RAYFINDER_BENCH_CHILD"):
+    child = os.environ.get("RAYFINDER_BENCH_CHILD")
+    if child == "courtyard":
+        main_courtyard()
+    elif child:
         main()
     else:
         _parent()
