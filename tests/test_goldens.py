@@ -132,3 +132,47 @@ def test_deferred_renderer_matches_golden(duck_device_scene):
     assert rmse(out, _golden("duck_deferred_64x48_f3.png")) < 5e-3
     debug = dr.render_debug(cam)
     assert rmse(debug, _golden("duck_deferred_debug_64x48.png")) < 5e-3
+
+
+def test_grouped_sweep_golden():
+    """The GROUPED sweeps (the production big-scene path behind the
+    primary courtyard metric) must reproduce the pinned accepted-hit set
+    EXACTLY — red if the grouped semantics change at all, even when
+    grouped-vs-flat agreement would still pass because both moved."""
+    import jax.numpy as jnp
+
+    from rayfinder_tpu.ops import pallas_walk as pw
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+
+    data = np.load(GOLDENS / "grouped_courtyard8.npz")
+    flat, textures = courtyard_scene(8)
+    scene = build_device_scene(flat, textures=textures)
+    assert scene.cluster_tris.shape[0] > pw.SUPER_G
+
+    t_max = jnp.float32(1e4)
+    o = jnp.asarray(data["origins"])
+    d = jnp.asarray(data["directions"])
+    import os
+
+    os.environ["RAYFINDER_GROUPED"] = "1"
+    try:
+        (t_out, tri_out), n, _ = pw._common_call(
+            scene, o, d, t_max, pw._make_closest_kernel,
+            (jnp.float32, jnp.int32),
+        )
+        (occ,), _, _ = pw._common_call(
+            scene, o, d, t_max, pw._make_any_kernel, (jnp.int32,)
+        )
+    finally:
+        del os.environ["RAYFINDER_GROUPED"]
+
+    np.testing.assert_array_equal(
+        np.asarray(tri_out).reshape(-1)[:n], data["tri"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_out).reshape(-1)[:n], data["t"], rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(occ).reshape(-1)[:n], data["occ"]
+    )
