@@ -24,7 +24,7 @@ import rayfinder_tpu.ops.pallas_walk as pw
 from rayfinder_tpu.ops.pallas_walk import (
     _slab_entry_rows, _seg_select, _gather_rows_T, _mt_block_T, _next_row,
     _fetch_super, _scene_tables_grouped, _prep_rays, _ray_regs, _full_spec,
-    _interpret, _GROUP_K,
+    _interpret, _GROUP_K, _super_entry_fold,
 )
 from rayfinder_tpu.render.camera import create_camera, generate_camera_ray
 from rayfinder_tpu.render.scene import build_device_scene
@@ -79,8 +79,8 @@ def _closest_sweep_counted(
         )
         return bt, btri, it
 
-    super_entry[:, :] = _slab_entry_rows(
-        super_min_ref[:, :], super_max_ref[:, :],
+    super_entry[:, :] = _super_entry_fold(
+        super_min_ref, super_max_ref,
         ox, oy, oz, ix, iy, iz, bound0,
     )
     s0, k0 = _next_row(super_entry[:, :], bound0)

@@ -44,8 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_walk import (
     _any_tile_sweep,
     _any_tile_sweep_grouped,
+    _any_tile_sweep_prebuilt,
     _closest_tile_sweep,
     _closest_tile_sweep_grouped,
+    _closest_tile_sweep_prebuilt,
     _interpret,
     _pair_tile_sweep,
     _pick_tile,
@@ -177,7 +179,8 @@ def _noise_rows(sample, nb0, nb1, i):
 
 
 def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
-                      grouped: bool = False, pair: bool = False):
+                      grouped: bool = False, pair: bool = False,
+                      prebuilt: bool = False):
     from .pallas_walk import _krays
 
     kr = _krays(grouped, rt_count)
@@ -194,9 +197,12 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
         tbuf, cache_tag, sem = scratch[2 * kr:2 * kr + 3]
         super_entry, cl_entry = super_entries[0], cl_entries[0]
         # kr > 1 appends the monotone-act ACTIVE entry table; pair (kr == 1,
-        # never grouped) appends its stacked entry table at the same slot.
+        # never grouped) appends its stacked entry table at the same slot;
+        # the prebuilt grouped path (kr == 1) appends its all-clusters
+        # entry table there. Mutually exclusive by construction.
         cur_entry = scratch[2 * kr + 3] if kr > 1 else None
         pair_entry = scratch[2 * kr + 3] if pair else None
+        cl_all = scratch[2 * kr + 3] if prebuilt else None
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -455,7 +461,13 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
             else:
                 # --- split prologue: occlusion sweep(s), then terminate-
                 # after-NEE bookkeeping and regeneration per row.
-                if grouped:
+                if prebuilt:
+                    occs = [_any_tile_sweep_prebuilt(
+                        rows[0]["shadow"], rows[0]["shadow_bound"],
+                        cl_planes_ref, table_hbm, super_entry, cl_entry,
+                        cl_all, tbuf, cache_tag, sem, num_supers,
+                    )]
+                elif grouped:
                     occs = _any_tile_sweep_grouped(
                         [row["shadow"] for row in rows],
                         [row["shadow_bound"] for row in rows],
@@ -501,7 +513,14 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                         jnp.float32(1.0) / dy,
                         jnp.float32(1.0) / dz,
                     ))
-                if grouped:
+                if prebuilt:
+                    bt, btri = _closest_tile_sweep_prebuilt(
+                        rays9[0], bounds[0], cl_planes_ref, start_ref,
+                        table_hbm, super_entry, cl_entry, cl_all, tbuf,
+                        cache_tag, sem, num_supers,
+                    )
+                    bts, btris = [bt], [btri]
+                elif grouped:
                     bts, btris = _closest_tile_sweep_grouped(
                         rays9, bounds,
                         super_min_ref, super_max_ref, cl_planes_ref,
@@ -952,8 +971,11 @@ def pallas_trace_regen(
         return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
 
     pair = _PAIR and not grouped and num_supers == 1
-    from .pallas_walk import _krays
+    from .pallas_walk import _krays, _use_prebuilt
 
+    prebuilt = grouped and _use_prebuilt(
+        num_supers, cl_planes.shape[-1], tile, _krays(grouped, rt)
+    )
     scratch_shapes = scratch(num_supers, tile, _krays(grouped, rt))
     if pair:
         # Stacked (closest | occlusion) entry table for the pair sweep.
@@ -962,7 +984,8 @@ def pallas_trace_regen(
         ]
 
     outs = pl.pallas_call(
-        _make_path_kernel(leaf, num_supers, rt, grouped=grouped, pair=pair),
+        _make_path_kernel(leaf, num_supers, rt, grouped=grouped, pair=pair,
+                          prebuilt=prebuilt),
         grid=(tiles // rt,),
         in_specs=[
             pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

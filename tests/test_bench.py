@@ -52,49 +52,88 @@ def _completed(stdout: str, rc: int = 0):
     return subprocess.CompletedProcess(args=[], returncode=rc, stdout=stdout, stderr="")
 
 
+DUCK_LINE = json.dumps({"metric": "duck_800x600_4bounce_path_trace",
+                        "value": 30.0, "unit": "Mrays/s/chip",
+                        "vs_baseline": 0.15})
+COURT_LINE = json.dumps({"metric": "courtyard_512x512_4bounce_path_trace",
+                         "value": 3.5, "unit": "Mrays/s/chip",
+                         "time_to_1024spp_1080p_s": 2400.0})
+
+
 def test_parent_relays_first_successful_child(bench, clock, monkeypatch, capsys):
-    line = json.dumps({"metric": "duck_800x600_4bounce_path_trace",
-                       "value": 30.0, "unit": "Mrays/s/chip", "vs_baseline": 0.15})
     calls = []
 
     def fake_run(cmd, **kw):
-        calls.append(kw.get("env", {}).get("RAYFINDER_ENGINE"))
-        return _completed("warmup noise\n" + line + "\n")
+        env = kw.get("env", {})
+        calls.append((env.get("RAYFINDER_BENCH_CHILD"),
+                      env.get("RAYFINDER_ENGINE")))
+        if env.get("RAYFINDER_BENCH_CHILD") == "courtyard":
+            return _completed(COURT_LINE + "\n")
+        return _completed("warmup noise\n" + DUCK_LINE + "\n")
 
     monkeypatch.setattr(bench, "_probe_device", lambda **kw: True)
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
     bench._parent()
     out = capsys.readouterr().out.strip().splitlines()
-    assert out == [line]
-    assert calls == ["pallas"]  # first engine succeeded; no fallback
+    assert len(out) == 1  # the driver contract: exactly ONE JSON line
+    data = json.loads(out[0])
+    # Duck fields intact (driver continuity) + courtyard (primary metric)
+    # folded into the same line.
+    assert data["metric"] == "duck_800x600_4bounce_path_trace"
+    assert data["value"] == 30.0 and data["vs_baseline"] == 0.15
+    assert data["courtyard_mrays"] == 3.5
+    assert data["time_to_1024spp_1080p_s"] == 2400.0
+    assert calls == [("1", "pallas"), ("courtyard", None)]
 
 
 def test_parent_falls_back_when_fast_path_dies(bench, clock, monkeypatch, capsys):
-    line = json.dumps({"metric": "duck_800x600_4bounce_path_trace",
-                       "value": 12.0, "unit": "Mrays/s/chip", "vs_baseline": 0.06})
     calls = []
 
     def fake_run(cmd, **kw):
-        eng = kw.get("env", {}).get("RAYFINDER_ENGINE")
+        env = kw.get("env", {})
+        eng = env.get("RAYFINDER_ENGINE")
+        if env.get("RAYFINDER_BENCH_CHILD") == "courtyard":
+            return _completed(COURT_LINE + "\n")
         calls.append(eng)
         if eng == "pallas":
             return _completed("TPU worker crashed\n", rc=1)
-        return _completed(line + "\n")
+        return _completed(DUCK_LINE + "\n")
 
     monkeypatch.setattr(bench, "_probe_device", lambda **kw: True)
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
     bench._parent()
     out = capsys.readouterr().out.strip().splitlines()
-    assert out == [line]
+    assert len(out) == 1
+    data = json.loads(out[0])
+    assert data["value"] == 30.0
+    assert data["courtyard_mrays"] == 3.5
     assert calls == ["pallas", "wavefront"]
+
+
+def test_parent_zero_courtyard_when_its_child_dies(bench, clock, monkeypatch, capsys):
+    """A courtyard-child fault must not cost the Duck measurement: the
+    line still carries the Duck number with courtyard_mrays 0.0."""
+
+    def fake_run(cmd, **kw):
+        env = kw.get("env", {})
+        if env.get("RAYFINDER_BENCH_CHILD") == "courtyard":
+            return _completed("TPU worker crashed\n", rc=1)
+        return _completed(DUCK_LINE + "\n")
+
+    monkeypatch.setattr(bench, "_probe_device", lambda **kw: True)
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    bench._parent()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    data = json.loads(out[0])
+    assert data["value"] == 30.0
+    assert data["courtyard_mrays"] == 0.0
 
 
 def test_parent_retries_through_outage_until_recovery(bench, clock, monkeypatch, capsys):
     """The round-1 failure mode: one failed probe must NOT zero the round.
     The tunnel comes back after ~20 minutes of fake time; the parent's
     budget (60 min) must still produce a real measurement."""
-    line = json.dumps({"metric": "duck_800x600_4bounce_path_trace",
-                       "value": 50.3, "unit": "Mrays/s/chip", "vs_baseline": 0.2515})
 
     def probe(timeout_s=300.0):
         if clock.t < 1200.0:
@@ -102,11 +141,18 @@ def test_parent_retries_through_outage_until_recovery(bench, clock, monkeypatch,
             return False
         return True
 
+    def fake_run(cmd, **kw):
+        env = kw.get("env", {})
+        if env.get("RAYFINDER_BENCH_CHILD") == "courtyard":
+            return _completed(COURT_LINE + "\n")
+        return _completed(DUCK_LINE + "\n")
+
     monkeypatch.setattr(bench, "_probe_device", probe)
-    monkeypatch.setattr(bench.subprocess, "run", lambda cmd, **kw: _completed(line + "\n"))
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
     bench._parent()
     out = capsys.readouterr().out.strip().splitlines()
-    assert out == [line]
+    assert len(out) == 1
+    assert json.loads(out[0])["value"] == 30.0
     assert clock.t >= 1200.0  # it actually waited out the outage
 
 

@@ -130,11 +130,38 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
         np.testing.assert_array_equal(trif, trig)
         np.testing.assert_allclose(tf, tg, rtol=0, atol=0)
 
-    # Both K-aggregated selection paths (monotone-act _act_select and the
-    # K-table merge _act_and_select) must agree exactly on the multi-super
-    # scene (visit order may differ; MT numerics and accepts may not).
+    # Every grouped selection path must agree exactly on the multi-super
+    # scene (visit order may differ; MT numerics and accepts may not):
+    # the default `run(..., "1")` above is the per-visit path with the
+    # union-box super test (_SUBBOX=1). Cover the sub-box refinement
+    # (SUBBOX=8), the opt-in prebuilt path, then the K-aggregated paths at
+    # KRAYS=4 (monotone-act _act_select and K-table _act_and_select).
+    assert pw._SUBBOX == 1, "default must be the union-box super test"
+    assert not pw._PREBUILT, "prebuilt is opt-in (measured regression)"
+    monkeypatch.setattr(pw, "_SUBBOX", 8)
+    tv, triv, occv = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
+    np.testing.assert_array_equal(occv, occg)
+    np.testing.assert_array_equal(triv, trig)
+    np.testing.assert_allclose(tv, tg, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "_SUBBOX", 1)
+
+    monkeypatch.setattr(pw, "_PREBUILT", True)
+    tv, triv, occv = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
+    np.testing.assert_array_equal(occv, occg)
+    np.testing.assert_array_equal(triv, trig)
+    np.testing.assert_allclose(tv, tg, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "_PREBUILT", False)
+
+    assert pw.KRAYS == 1, "default must be KRAYS=1 (round-2 judge bisect)"
+    monkeypatch.setattr(pw, "KRAYS", 4)
     assert pw._ACTSEL, "default must be the monotone-act path"
+    tm, trim, occm = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
+    np.testing.assert_array_equal(occm, occg)
+    np.testing.assert_array_equal(trim, trig)
+    np.testing.assert_allclose(tm, tg, rtol=0, atol=0)
+
     monkeypatch.setattr(pw, "_ACTSEL", False)
     tm, trim, occm = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
     np.testing.assert_array_equal(occm, occg)
     np.testing.assert_array_equal(trim, trig)
+    np.testing.assert_allclose(tm, tg, rtol=0, atol=0)
