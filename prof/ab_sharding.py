@@ -45,30 +45,36 @@ tile = jnp.asarray(blue_noise_tile())
 fence = jax.jit(lambda a: jnp.sum(a))
 
 
-def timed(label, fn, accum0):
-    accum = fn(0, accum0)
+def timed(label, fn):
+    # The accumulator arg is DONATED (pathtracer jit donate_argnums=(5,));
+    # build a fresh one per call — reusing one across calls fetches a
+    # deleted buffer (backend InvalidArgument through the tunnel).
+    accum = fn(0)
     float(fence(accum))  # warm + compile
     t0 = time.time()
-    accum = fn(NF, accum0)
+    accum = fn(NF)
     float(fence(accum))
     dt = time.time() - t0
-    print(f"{label:>18}: {dt:.3f}s  ({dt / NF * 1e3:.2f} ms/sample)")
+    print(f"{label:>18}: {dt:.3f}s  ({dt / NF * 1e3:.2f} ms/sample)",
+          flush=True)
     return dt, accum
 
 
-def bare(fb, accum):
+def bare(fb):
     out = accumulate_samples_regen(
-        scene, sky, camera, tile, jnp.int32(fb), accum,
+        scene, sky, camera, tile, jnp.int32(fb),
+        jnp.zeros((W * H, 3), jnp.float32),
         width=W, height=H, num_bounces=BOUNCES, spp=256, num_frames=NF,
         engine="pallas")
     return out
 
 
 mesh = make_render_mesh(devices=np.array(jax.devices()[:1]).reshape(1, 1))
-_, _, padded = block_order(W, H)
+tiles_ax = mesh.shape["tiles"]
+padded = -(-(W * H) // tiles_ax) * tiles_ax  # pixel rows padded to the mesh
 
 
-def sharded(fb, accum_lin):
+def sharded(fb):
     accum = jnp.zeros((padded, 3), jnp.float32)
     out = render_step_sharded_regen(
         scene, sky, camera, tile, jnp.int32(fb), accum, mesh=mesh,
@@ -77,8 +83,7 @@ def sharded(fb, accum_lin):
     return out
 
 
-accum0 = jnp.zeros((W * H, 3), jnp.float32)
-dt_a, out_a = timed("bare fused", bare, accum0)
-dt_b, out_b = timed("shard_map (1,1)", sharded, accum0)
+dt_a, out_a = timed("bare fused", bare)
+dt_b, out_b = timed("shard_map (1,1)", sharded)
 print(f"overhead: {(dt_b - dt_a) / dt_a * 100.0:+.2f}%  "
       f"({(dt_b - dt_a) / NF * 1e3:+.3f} ms/sample)")

@@ -566,7 +566,7 @@ def _closest_tile_sweep_prebuilt(
 
     def s_body(state):
         bt, btri, s, _ = state
-        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, s)
+        miss = _fetch_super_start(tableT_hbm, tbufT, sem, cache_tag, s)
         off = pl.multiple_of(s * g, g)
         cl_entry[:, :] = cl_all[pl.ds(off, g), :]
         starts_rows = startf_ref[s]
@@ -577,6 +577,7 @@ def _closest_tile_sweep_prebuilt(
             return _seg_select(masked)
 
         jb0, key0 = select(bt)
+        _fetch_super_wait(tableT_hbm, tbufT, sem, miss, s)
 
         def g_cond(st):
             return jnp.isfinite(st[-1])
@@ -635,7 +636,7 @@ def _any_tile_sweep_prebuilt(
 
     def s_body(state):
         occ, s, _ = state
-        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, s)
+        miss = _fetch_super_start(tableT_hbm, tbufT, sem, cache_tag, s)
         off = pl.multiple_of(s * g, g)
         cl_entry[:, :] = cl_all[pl.ds(off, g), :]
 
@@ -646,6 +647,7 @@ def _any_tile_sweep_prebuilt(
             return _seg_select(masked)
 
         jb0, key0 = select(occ)
+        _fetch_super_wait(tableT_hbm, tbufT, sem, miss, s)
 
         def g_cond(st):
             return jnp.isfinite(st[-1])
@@ -716,7 +718,7 @@ def _closest_tile_sweep_grouped(
 
     use_act = K > 1 and _ACTSEL and cur_entry is not None
 
-    def cluster_phase(s, bts, btris):
+    def cluster_phase(s, bts, btris, finish=None):
         for k in range(K):
             cl_entries[k][:, :] = _slab_entry_rows(
                 cl_planes_ref[s, 0], cl_planes_ref[s, 1],
@@ -769,6 +771,8 @@ def _closest_tile_sweep_grouped(
                     )
 
         jb0, act0, key0 = select(bts, act_start)
+        if finish is not None:
+            finish()  # the builds/selection above never read tbufT
 
         def g_cond(st):
             return jnp.isfinite(st[-1])
@@ -803,8 +807,12 @@ def _closest_tile_sweep_grouped(
         return list(st[0:K]), list(st[K:2 * K])
 
     if num_supers == 1:
-        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, jnp.int32(0))
-        return cluster_phase(0, list(bound0_k), btri0_k)
+        s1 = jnp.int32(0)
+        miss1 = _fetch_super_start(tableT_hbm, tbufT, sem, cache_tag, s1)
+        return cluster_phase(
+            0, list(bound0_k), btri0_k,
+            finish=lambda: _fetch_super_wait(tableT_hbm, tbufT, sem, miss1, s1),
+        )
 
     for k in range(K):
         super_entries[k][:, :] = _super_entry_fold(
@@ -821,8 +829,11 @@ def _closest_tile_sweep_grouped(
         bts = list(state[0:K])
         btris = list(state[K:2 * K])
         s = state[2 * K]
-        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, s)
-        bts, btris = cluster_phase(s, bts, btris)
+        miss = _fetch_super_start(tableT_hbm, tbufT, sem, cache_tag, s)
+        bts, btris = cluster_phase(
+            s, bts, btris,
+            finish=lambda: _fetch_super_wait(tableT_hbm, tbufT, sem, miss, s),
+        )
         inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
         for k in range(K):
             super_entries[k][s, :] = inf_row
@@ -859,7 +870,7 @@ def _any_tile_sweep_grouped(
 
     use_act = K > 1 and _ACTSEL and cur_entry is not None
 
-    def cluster_phase(s, occs):
+    def cluster_phase(s, occs, finish=None):
         for k in range(K):
             cl_entries[k][:, :] = _slab_entry_rows(
                 cl_planes_ref[s, 0], cl_planes_ref[s, 1],
@@ -911,6 +922,8 @@ def _any_tile_sweep_grouped(
                     )
 
         jb0, act0, key0 = select(occs, act_start)
+        if finish is not None:
+            finish()  # the builds/selection above never read tbufT
 
         def g_cond(st):
             return jnp.isfinite(st[-1])
@@ -941,8 +954,12 @@ def _any_tile_sweep_grouped(
         return list(st[0:K])
 
     if num_supers == 1:
-        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, jnp.int32(0))
-        return cluster_phase(0, occ0_k)
+        s1 = jnp.int32(0)
+        miss1 = _fetch_super_start(tableT_hbm, tbufT, sem, cache_tag, s1)
+        return cluster_phase(
+            0, occ0_k,
+            finish=lambda: _fetch_super_wait(tableT_hbm, tbufT, sem, miss1, s1),
+        )
 
     for k in range(K):
         super_entries[k][:, :] = _super_entry_fold(
@@ -960,8 +977,11 @@ def _any_tile_sweep_grouped(
     def s_body(state):
         occs = list(state[0:K])
         s = state[K]
-        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, s)
-        occs = cluster_phase(s, occs)
+        miss = _fetch_super_start(tableT_hbm, tbufT, sem, cache_tag, s)
+        occs = cluster_phase(
+            s, occs,
+            finish=lambda: _fetch_super_wait(tableT_hbm, tbufT, sem, miss, s),
+        )
         inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
         for k in range(K):
             super_entries[k][s, :] = inf_row
@@ -1061,21 +1081,40 @@ def _next_rowsk(entry, bt, k: int):
     return js, jnp.min(masked)
 
 
-def _fetch_super(table_hbm, tbuf, sem, cache_tag, s):
-    """DMA super s's (SUPER, rows, cols) table slice HBM->VMEM unless the
-    one-slot cache already holds it."""
+def _fetch_super_start(table_hbm, tbuf, sem, cache_tag, s):
+    """Issue the one-slot-cached DMA for super s WITHOUT waiting; returns the
+    miss predicate for _fetch_super_wait. Every sweep's per-visit flow does
+    entry builds and a selection round that never read tbuf — splitting the
+    wait lets the copy ride under that work instead of serializing in front
+    of it (per-visit DMA+build+syncs were measured at ~4us on courtyard
+    bounce tiles, prof/diag_iters.py). Unlike the reverted two-slot prefetch
+    pipeline there is ONE buffer and no dynamic slot index on the hot MT
+    loads — semantics and layout are unchanged, only the wait moves."""
     if os.environ.get("RAYFINDER_DMA_DEBUG") == "uncond":
         dma = pltpu.make_async_copy(table_hbm.at[s], tbuf, sem)
         dma.start()
         dma.wait()
+        return None
+    miss = cache_tag[0] != s
+
+    @pl.when(miss)
+    def _():
+        pltpu.make_async_copy(table_hbm.at[s], tbuf, sem).start()
+        cache_tag[0] = s
+
+    return miss
+
+
+def _fetch_super_wait(table_hbm, tbuf, sem, miss, s):
+    """Complete a _fetch_super_start: consume the DMA semaphore iff a copy
+    was issued (miss). Must run exactly once per start, BEFORE any tbuf read
+    and before the next start on the same buffer."""
+    if miss is None:
         return
 
-    @pl.when(cache_tag[0] != s)
+    @pl.when(miss)
     def _():
-        dma = pltpu.make_async_copy(table_hbm.at[s], tbuf, sem)
-        dma.start()
-        dma.wait()
-        cache_tag[0] = s
+        pltpu.make_async_copy(table_hbm.at[s], tbuf, sem).wait()
 
 
 def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
@@ -1133,11 +1172,13 @@ def _closest_tile_sweep(
     btri0 = jnp.full((bound0.shape[0],), -1, jnp.int32)
 
     if num_supers == 1:
-        _fetch_super(table_hbm, tbuf, sem, cache_tag, jnp.int32(0))
+        s1 = jnp.int32(0)
+        miss1 = _fetch_super_start(table_hbm, tbuf, sem, cache_tag, s1)
         cl_entry[:, :] = _slab_entry_rows(
             cl_planes_ref[0, 0], cl_planes_ref[0, 1],
             ox, oy, oz, ix, iy, iz, bound0,
         )
+        _fetch_super_wait(table_hbm, tbuf, sem, miss1, s1)
 
         def test_one0(j, carry):
             bt, btri = carry
@@ -1166,11 +1207,12 @@ def _closest_tile_sweep(
 
     def s_body(state):
         bt, btri, s, _ = state
-        _fetch_super(table_hbm, tbuf, sem, cache_tag, s)
+        miss = _fetch_super_start(table_hbm, tbuf, sem, cache_tag, s)
         cl_entry[:, :] = _slab_entry_rows(
             cl_planes_ref[s, 0], cl_planes_ref[s, 1],
             ox, oy, oz, ix, iy, iz, bt,
         )
+        _fetch_super_wait(table_hbm, tbuf, sem, miss, s)
 
         def test_one(j, carry, s=s):
             bt, btri = carry
@@ -1237,7 +1279,8 @@ def _pair_tile_sweep(
     btri0 = jnp.full((tile,), -1, jnp.int32)
     occ0 = jnp.zeros((tile,), jnp.int32)
 
-    _fetch_super(table_hbm, tbuf, sem, cache_tag, jnp.int32(0))
+    sp = jnp.int32(0)
+    missp = _fetch_super_start(table_hbm, tbuf, sem, cache_tag, sp)
     pair_entry[0:rows, :] = _slab_entry_rows(
         cl_planes_ref[0, 0], cl_planes_ref[0, 1],
         cox, coy, coz, cix, ciy, ciz, bound0,
@@ -1246,6 +1289,7 @@ def _pair_tile_sweep(
         cl_planes_ref[0, 0], cl_planes_ref[0, 1],
         sox, soy, soz, six, siy, siz, sh_bound,
     )
+    _fetch_super_wait(table_hbm, tbuf, sem, missp, sp)
     row_io = jax.lax.broadcasted_iota(jnp.int32, (2 * rows, tile), 0)
     is_top = row_io < rows
 
@@ -1397,11 +1441,13 @@ def _any_tile_sweep(
     occ0 = jnp.zeros((tmax.shape[0],), jnp.int32)
 
     if num_supers == 1:
-        _fetch_super(table_hbm, tbuf, sem, cache_tag, jnp.int32(0))
+        s1 = jnp.int32(0)
+        miss1 = _fetch_super_start(table_hbm, tbuf, sem, cache_tag, s1)
         cl_entry[:, :] = _slab_entry_rows(
             cl_planes_ref[0, 0], cl_planes_ref[0, 1],
             ox, oy, oz, ix, iy, iz, tmax,
         )
+        _fetch_super_wait(table_hbm, tbuf, sem, miss1, s1)
 
         def test_one0(j, occ):
             need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
@@ -1426,11 +1472,12 @@ def _any_tile_sweep(
 
     def s_body(state):
         occ, s, _ = state
-        _fetch_super(table_hbm, tbuf, sem, cache_tag, s)
+        miss = _fetch_super_start(table_hbm, tbuf, sem, cache_tag, s)
         cl_entry[:, :] = _slab_entry_rows(
             cl_planes_ref[s, 0], cl_planes_ref[s, 1],
             ox, oy, oz, ix, iy, iz, pending_bound(occ),
         )
+        _fetch_super_wait(table_hbm, tbuf, sem, miss, s)
 
         def test_one(j, occ):
             need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
