@@ -64,6 +64,7 @@ def main() -> None:
     write_png(GOLDENS / "bvh_heatmap_64x48.png", visualize(DUCK, width=64, height=48))
 
     bake_grouped_sweep()
+    bake_flat_sweep()
     print("baked", len(list(GOLDENS.glob("*.png"))), "goldens")
 
 
@@ -114,6 +115,67 @@ def bake_grouped_sweep() -> None:
         tri=np.asarray(tri_out).reshape(-1)[:n],
         occ=np.asarray(occ).reshape(-1)[:n],
     )
+
+
+def bake_flat_sweep() -> None:
+    """Pin the FLAT sweeps' accepted-hit set on both of their static
+    specializations: the single-super fast path (Duck — the small-scene
+    production path behind the driver bench) and the multi-super flat walk
+    (courtyard with RAYFINDER_GROUPED=0). Same rationale as the grouped
+    golden: flat-vs-wavefront agreement alone misses a semantic change
+    that lands in both engines."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rayfinder_tpu.ops import pallas_walk as pw
+    from rayfinder_tpu.render.scene import build_device_scene, load_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+
+    rng = np.random.default_rng(2025)
+    t_max = jnp.float32(1e4)
+
+    def run(scene, lo, hi, name, aim=None):
+        o = rng.uniform(lo, hi, size=(256, 3)).astype(np.float32)
+        if aim is None:
+            d = rng.normal(size=(256, 3)).astype(np.float32)
+        else:
+            # Aim at jittered points around `aim` so most rays hit (random
+            # directions from the box almost all miss a small model).
+            tgt = aim + 0.4 * rng.normal(size=(256, 3))
+            d = (tgt - o).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        (t_out, tri_out), n, _ = pw._common_call(
+            scene, jnp.asarray(o), jnp.asarray(d), t_max,
+            pw._make_closest_kernel, (jnp.float32, jnp.int32),
+        )
+        (occ,), _, _ = pw._common_call(
+            scene, jnp.asarray(o), jnp.asarray(d), t_max,
+            pw._make_any_kernel, (jnp.int32,),
+        )
+        np.savez(
+            GOLDENS / name,
+            origins=o,
+            directions=d,
+            t=np.asarray(t_out).reshape(-1)[:n],
+            tri=np.asarray(tri_out).reshape(-1)[:n],
+            occ=np.asarray(occ).reshape(-1)[:n],
+        )
+
+    duck = load_device_scene(DUCK)
+    assert pw._grouped_mode(duck.cluster_tris.shape[0]) is False
+    run(duck, [-2.5, -0.5, -2.5], [2.5, 3.0, 2.5], "flat_duck.npz",
+        aim=np.array([0.0, 0.85, 0.0]))
+
+    flat, textures = courtyard_scene(8)
+    court = build_device_scene(flat, textures=textures)
+    assert court.cluster_tris.shape[0] > pw.SUPER  # multi-super flat walk
+    os.environ["RAYFINDER_GROUPED"] = "0"
+    try:
+        run(court, [-18, 1, -8], [18, 10, 8], "flat_courtyard8.npz")
+    finally:
+        del os.environ["RAYFINDER_GROUPED"]
 
 
 if __name__ == "__main__":

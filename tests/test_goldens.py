@@ -176,3 +176,66 @@ def test_grouped_sweep_golden():
     np.testing.assert_array_equal(
         np.asarray(occ).reshape(-1)[:n], data["occ"]
     )
+
+
+def _assert_sweep_matches(scene, data, env=None):
+    import os
+
+    import jax.numpy as jnp
+
+    from rayfinder_tpu.ops import pallas_walk as pw
+
+    t_max = jnp.float32(1e4)
+    o = jnp.asarray(data["origins"])
+    d = jnp.asarray(data["directions"])
+    saved = {k: os.environ.get(k) for k in (env or {})}
+    os.environ.update(env or {})
+    try:
+        (t_out, tri_out), n, _ = pw._common_call(
+            scene, o, d, t_max, pw._make_closest_kernel,
+            (jnp.float32, jnp.int32),
+        )
+        (occ,), _, _ = pw._common_call(
+            scene, o, d, t_max, pw._make_any_kernel, (jnp.int32,)
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    np.testing.assert_array_equal(
+        np.asarray(tri_out).reshape(-1)[:n], data["tri"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_out).reshape(-1)[:n], data["t"], rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(occ).reshape(-1)[:n], data["occ"]
+    )
+
+
+def test_flat_sweep_golden_single_super(duck_device_scene):
+    """The FLAT sweeps' single-super fast path (the small-scene production
+    path behind the driver Duck bench) must reproduce the pinned
+    accepted-hit set EXACTLY — red if the flat semantics change even when
+    flat-vs-wavefront agreement would still pass because both moved."""
+    from rayfinder_tpu.ops import pallas_walk as pw
+
+    assert pw._grouped_mode(duck_device_scene.cluster_tris.shape[0]) is False
+    data = np.load(GOLDENS / "flat_duck.npz")
+    _assert_sweep_matches(duck_device_scene, data)
+
+
+def test_flat_sweep_golden_multi_super():
+    """The FLAT multi-super walk (super selection loop + per-visit DMA)
+    pinned exactly on a courtyard-scale scene (RAYFINDER_GROUPED=0)."""
+    from rayfinder_tpu.ops import pallas_walk as pw
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+
+    flat, textures = courtyard_scene(8)
+    scene = build_device_scene(flat, textures=textures)
+    assert scene.cluster_tris.shape[0] > pw.SUPER
+    data = np.load(GOLDENS / "flat_courtyard8.npz")
+    _assert_sweep_matches(scene, data, env={"RAYFINDER_GROUPED": "0"})
