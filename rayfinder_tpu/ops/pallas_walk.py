@@ -1059,6 +1059,10 @@ def _scene_tables_grouped(scene):
 # much as a Möller-Trumbore block — wider K amortizes it at the price of up
 # to K-1 wasted (all-lanes-masked) MT blocks on the final iteration.
 _SWEEP_K = int(os.environ.get("RAYFINDER_SWEEP_K", "2"))
+# Pipelined row selection in _cluster_sweep (see its docstring). TPU A/B
+# (v5e, 2026-08-19, two runs each): Duck 51.04/51.42 Mrays/s vs 49.06/49.94
+# at 0 (+3%); courtyard unchanged (grouped sweeps don't use _cluster_sweep).
+_PIPE_SEL = os.environ.get("RAYFINDER_PIPE_SEL", "1") == "1"
 
 
 def _next_rowsk(entry, bt, k: int):
@@ -1121,28 +1125,51 @@ def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
     """Inner front-to-back sweep over one super's clusters, _SWEEP_K per
     iteration.
 
-    test_one(j, carry) -> (carry, bound): dense-test cluster j, fold into the
-    carry, return the updated selection bound. Terminates when no cluster has
-    a lane with entry < bound. Erasing every selected row is safe even when a
-    trailing one was already exhausted: the bound only shrinks during a
-    sweep, so a row with no lane under the current bound can never be needed
-    again.
+    test_one(j, erow, carry) -> (carry, bound): dense-test cluster j (erow =
+    its hoisted entry row), fold into the carry, return the updated selection
+    bound. Terminates when no cluster has a lane with entry < bound. Erasing
+    every selected row is safe even when a trailing one was already
+    exhausted: the bound only shrinks during a sweep, so a row with no lane
+    under the current bound can never be needed again.
+
+    RAYFINDER_PIPE_SEL=1 pipelines the selection: each iteration erases the
+    carried rows, selects the NEXT rows against the PRE-test bound, and only
+    then runs the Möller-Trumbore tests — so the vector->scalar row-index
+    extraction (the ~2-4us/iteration sync that dominates small-scene sweeps)
+    overlaps the tests instead of serializing after them. Results are exact:
+    accepts are guarded by the at-test-time bound, and the stale-bound mask
+    is a superset of the fresh one, so exit never skips a needed row — it
+    can only run one extra (fully guarded, no-accept) iteration.
     """
     k = _SWEEP_K
+    inf_row_w = bound0.shape[0]
     js0, key0 = _next_rowsk(cl_entry[:, :], bound0, k)
 
     def cond(state):
         return jnp.isfinite(state[-1])
 
-    def body(state):
-        carry, bound = state[0], state[1]
-        js = state[2:2 + k]
-        inf_row = jnp.full((bound.shape[0],), jnp.inf, jnp.float32)
-        for j in js:
-            carry, bound = test_one(j, carry)
-            cl_entry[j, :] = inf_row
-        js_n, key_n = _next_rowsk(cl_entry[:, :], bound, k)
-        return (carry, bound, *js_n, key_n)
+    if _PIPE_SEL:
+        def body(state):
+            carry, bound = state[0], state[1]
+            js = state[2:2 + k]
+            inf_row = jnp.full((inf_row_w,), jnp.inf, jnp.float32)
+            erows = [cl_entry[j, :] for j in js]
+            for j in js:
+                cl_entry[j, :] = inf_row
+            js_n, key_n = _next_rowsk(cl_entry[:, :], bound, k)
+            for j, erow in zip(js, erows):
+                carry, bound = test_one(j, erow, carry)
+            return (carry, bound, *js_n, key_n)
+    else:
+        def body(state):
+            carry, bound = state[0], state[1]
+            js = state[2:2 + k]
+            inf_row = jnp.full((inf_row_w,), jnp.inf, jnp.float32)
+            for j in js:
+                carry, bound = test_one(j, cl_entry[j, :], carry)
+                cl_entry[j, :] = inf_row
+            js_n, key_n = _next_rowsk(cl_entry[:, :], bound, k)
+            return (carry, bound, *js_n, key_n)
 
     state = jax.lax.while_loop(cond, body, (carry0, bound0, *js0, key0))
     return state[0], state[1]
@@ -1180,9 +1207,9 @@ def _closest_tile_sweep(
         )
         _fetch_super_wait(table_hbm, tbuf, sem, miss1, s1)
 
-        def test_one0(j, carry):
+        def test_one0(j, erow, carry):
             bt, btri = carry
-            need = cl_entry[j, :] < bt
+            need = erow < bt
             t_cand, slot = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, bt)
             better = need & (t_cand < bt)
             tri = start_ref[j] + slot
@@ -1214,9 +1241,9 @@ def _closest_tile_sweep(
         )
         _fetch_super_wait(table_hbm, tbuf, sem, miss, s)
 
-        def test_one(j, carry, s=s):
+        def test_one(j, erow, carry, s=s):
             bt, btri = carry
-            need = cl_entry[j, :] < bt
+            need = erow < bt
             t_cand, slot = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, bt)
             better = need & (t_cand < bt)
             # Treelet clusters are variable-length leaf ranges; the
@@ -1449,8 +1476,8 @@ def _any_tile_sweep(
         )
         _fetch_super_wait(table_hbm, tbuf, sem, miss1, s1)
 
-        def test_one0(j, occ):
-            need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
+        def test_one0(j, erow, occ):
+            need = jnp.isfinite(erow) & (occ == 0)
             t_cand, _ = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, tmax)
             occ = jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
             return occ, pending_bound(occ)
@@ -1479,8 +1506,8 @@ def _any_tile_sweep(
         )
         _fetch_super_wait(table_hbm, tbuf, sem, miss, s)
 
-        def test_one(j, occ):
-            need = jnp.isfinite(cl_entry[j, :]) & (occ == 0)
+        def test_one(j, erow, occ):
+            need = jnp.isfinite(erow) & (occ == 0)
             t_cand, _ = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, tmax)
             occ = jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
             return occ, pending_bound(occ)

@@ -239,3 +239,14 @@ def test_flat_sweep_golden_multi_super():
     assert scene.cluster_tris.shape[0] > pw.SUPER
     data = np.load(GOLDENS / "flat_courtyard8.npz")
     _assert_sweep_matches(scene, data, env={"RAYFINDER_GROUPED": "0"})
+
+
+def test_flat_sweep_golden_pipelined(duck_device_scene, monkeypatch):
+    """RAYFINDER_PIPE_SEL=1 (stale-bound pipelined selection) must be
+    hit-for-hit identical to the default sweep: accepts are guarded by the
+    at-test-time bound, so pipelining may only waste a guarded iteration."""
+    from rayfinder_tpu.ops import pallas_walk as pw
+
+    monkeypatch.setattr(pw, "_PIPE_SEL", True)
+    data = np.load(GOLDENS / "flat_duck.npz")
+    _assert_sweep_matches(duck_device_scene, data)
