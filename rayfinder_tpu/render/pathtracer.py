@@ -55,7 +55,12 @@ _SORT_BITS = int(os.environ.get("RAYFINDER_SORT_BITS", "5"))
 # tighter first compaction cuts dead rows in every phase-1 shade
 # gather (live ~43K; benched 45.7 vs 44.2 at DIV=8's 61440 width).
 _COMPACT_DIV = int(os.environ.get("RAYFINDER_COMPACT_DIV", "10"))
-_COMPACT_FLOOR = int(os.environ.get("RAYFINDER_COMPACT_FLOOR", "8192"))
+# Floor 4096 adds a narrower tail phase below the old 8192 (Duck phases
+# become [480000, 49152, 8192, 4096]). TPU A/B 2026-08-19 (two runs each):
+# 4096 = 52.05/51.90 Mrays/s, 8192 = 50.35-50.77, 2048 = 51.46/50.28 —
+# the deep-bounce tail (118 iters x 0.79ms at 8192 wide) halves its width
+# once more, but 2048 over-fragments (compaction cost + later phase exit).
+_COMPACT_FLOOR = int(os.environ.get("RAYFINDER_COMPACT_FLOOR", "4096"))
 # Ray-tile size for the FULL-WIDTH regen phase of small scenes (sync-bound
 # in-kernel sky/regen rounds; the compacted phases use the divergence-tuned
 # ops.pallas_walk defaults). See _accumulate_regen_fused.
