@@ -134,7 +134,7 @@ st = (sample0, jnp.ones((B,), jnp.int32), jnp.zeros((B,), jnp.int32), o0, d0,
       jnp.int32(0))
 
 cur_u, cur_v, cur_nb = u_full, v_full, nb_full
-sizes = _phase_sizes(B, int(os.environ.get("RAYFINDER_COMPACT_FLOOR", "8192")))
+sizes = _phase_sizes(B, int(os.environ.get("RAYFINDER_COMPACT_FLOOR", "4096")))
 print("phases:", sizes, flush=True)
 
 # Warm all compiles first (so timing loop is clean).

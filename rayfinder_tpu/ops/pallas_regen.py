@@ -76,6 +76,16 @@ _A2 = np.float32(0.5698402909980532)
 # unroll was meant to buy doesn't show at bench shapes, so default 1 for
 # the smaller Mosaic program (halves path-kernel compile time).
 _ROUND_UNROLL = int(os.environ.get("RAYFINDER_REGEN_UNROLL", "1"))
+# Stale (pipelined) main-loop condition: the continue flag becomes "any lane
+# inflight at round START" — computed from the round's INPUT state, so the
+# vector->scalar reduce resolves during the sweep instead of serializing
+# after it (the fresh flag depends on the sweep's miss results). Costs one
+# extra fully-guarded round per tile per dispatch. MEASURED LOSS on TPU
+# (2026-08-19, driver bench, two runs): Duck 47.5/49.6 vs 52.1, courtyard
+# 3.426/3.425 vs 3.455-3.480 — the extra guarded round (entry build +
+# selection per tile, on EVERY dispatch of the compacted phases) costs more
+# than the hidden reduce->scalar stall. Kept opt-in for wider-tile configs.
+_STALE_COND = os.environ.get("RAYFINDER_STALE_COND", "0") == "1"
 _ACOS_C = [np.float32(c) for c in (
     1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
     0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911,
@@ -272,6 +282,11 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                  tfin, trifin, stopped, _) = st
 
                 inflight = (sample < nf) & (stopped == 0)
+                # Stale-cond flag: any lane inflight at round start. Pure
+                # function of the round's INPUT state — hoisted here so the
+                # reduce can resolve under the sweep that precedes this fold.
+                infl_pre = jnp.max(
+                    jnp.where(inflight, 1, 0)).astype(jnp.int32)
                 hit = inflight & (btri >= 0)
                 tfin = jnp.where(hit, bt, tfin)
                 trifin = jnp.where(hit, btri, trifin)
@@ -306,7 +321,10 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                 t1 = jnp.where(regen, one, t1)
                 t2 = jnp.where(regen, one, t2)
                 bounce = jnp.where(regen, 1, bounce)
-                flag = jnp.max(jnp.where(regen, 1, 0)).astype(jnp.int32)
+                if _STALE_COND:
+                    flag = infl_pre
+                else:
+                    flag = jnp.max(jnp.where(regen, 1, 0)).astype(jnp.int32)
                 return (sample, bounce, ox, oy, oz, dx, dy, dz,
                         t0, t1, t2, s0, s1, s2, l0, l1, l2,
                         tfin, trifin, stopped, flag)

@@ -80,12 +80,24 @@ def _phase_sizes(batch: int, floor: int) -> list[int]:
         widths = [w for w in widths if 0 < w < batch]
         return [batch] + sorted(set(widths), reverse=True)
     gran = min(2048, max(floor, 16))
-    sizes = [batch]
-    while sizes[-1] > floor:
-        nxt = max(floor, -(-sizes[-1] // _COMPACT_DIV // gran) * gran)
+    cap = max(floor, -(-batch // _COMPACT_DIV // gran) * gran)
+    if cap >= batch:
+        return [batch]
+    # Tail ladder below the first capture: divide the capture by 2/6/12
+    # (Duck bench: [480000, 49152, 24576, 8192, 4096]). TPU A/B 2026-08-19,
+    # two runs each: this ladder 53.23/53.17 Mrays/s vs 52.05/51.90 for the
+    # old DIV-chain [49152, 8192, 4096] and 50.35-50.77 for [49152, 8192];
+    # a denser ladder (+12288) measured 53.42/52.11 — within noise of this
+    # one, not worth the extra compile/compaction. The live count lingers
+    # in the 8K-49K band long enough that paying width there dominates.
+    sizes = [batch, cap]
+    for div in (2, 6, 12):
+        nxt = max(floor, -(-cap // div // gran) * gran)
         if nxt >= sizes[-1]:
-            break
+            continue
         sizes.append(nxt)
+        if nxt <= floor:
+            break
     return sizes
 
 
