@@ -282,6 +282,55 @@ _SUBBOX = int(os.environ.get("RAYFINDER_SUBBOX", "1"))
 _PREBUILT_MAX_BYTES = int(
     os.environ.get("RAYFINDER_PREBUILT_MAX_BYTES", str(6 * 1024 * 1024))
 )
+# Monotone packed-key per-lane selection for the grouped sweeps (K == 1,
+# _SUB == 1, _GROUP_K == 1): the slab entries are bitcast to sortable int32
+# keys with the row index packed into the low mantissa bits, so each
+# iteration's selection is ONE masked int-min over the static key table —
+# no argmin pass, no VMEM erase write-back. Erasure is replaced by the
+# per-lane monotonicity of the selected key: every key is distinct (index
+# tie-break), keys are selected in increasing order, and a row whose key is
+# <= the last selected was either tested or bound-excluded (bounds only
+# shrink), so `key > last` excludes exactly the consumed rows. The key
+# quantization (low bits cleared) only perturbs the per-lane test order
+# within a 2^bits-ulp bucket and admits a few rows slightly past the bound:
+# accepts stay exact because every Möller-Trumbore test is bound-guarded
+# and the mask is conservative (entry < bound => packed < bound_key).
+_MONOSEL = os.environ.get("RAYFINDER_MONOSEL", "0") == "1"
+_IMAX = np.int32(0x7FFFFFFF)
+
+
+def _pack_entry_keys(e, bits: int):
+    """(rows, TILE) f32 slab entries (>= 0, or +inf where the slab test
+    fails) -> sortable int32 keys, row index in the low `bits` bits.
+    Non-negative f32 bit patterns order like the floats, so the int keys
+    order like (quantized entry, row index)."""
+    row_io = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
+    eb = jax.lax.bitcast_convert_type(e, jnp.int32)
+    mask = np.int32((1 << bits) - 1)
+    return jnp.bitwise_or(jnp.bitwise_and(eb, ~mask), row_io)
+
+
+def _bound_keys(bt, bits: int):
+    """Per-lane f32 bound -> packed-key-space exclusive upper bound.
+    entry < bt  =>  packed(entry) < bound_key(bt): packed <= entry_bits -
+    low + idx <= entry_bits + mask <= (bt_bits - 1) + mask < (bt_bits |
+    mask) + 1. A -inf bound (parked/occluded lane) bitcasts negative and
+    stays negative, excluding every (non-negative) packed entry. No
+    overflow: the largest finite bt gives (0x7F7FFFFF | mask) + 1 =
+    0x7F800000 + mask'."""
+    bb = jax.lax.bitcast_convert_type(bt, jnp.int32)
+    mask = np.int32((1 << bits) - 1)
+    return jnp.bitwise_or(bb, mask) + jnp.int32(1)
+
+
+def _mono_select(packed, last, bkey):
+    """One selection round: per-lane min packed key strictly above `last`
+    and below the lane's bound key. Returns m (TILE,) int32; _IMAX where
+    the lane has nothing left."""
+    cand = jnp.where(
+        (packed > last[None, :]) & (packed < bkey[None, :]), packed, _IMAX
+    )
+    return jnp.min(cand, axis=0)
 
 
 def _use_prebuilt(num_supers: int, group: int, tile: int, kr: int) -> bool:
@@ -717,8 +766,54 @@ def _closest_tile_sweep_grouped(
     dzs = [r[5] for r in rays_k]
 
     use_act = K > 1 and _ACTSEL and cur_entry is not None
+    use_mono = K == 1 and _SUB == 1 and _GROUP_K == 1 and _MONOSEL
+
+    def cluster_phase_mono(s, bts, btris, finish=None):
+        """Monotone packed-key cluster phase (see _MONOSEL): the entry keys
+        stay static in registers; selection is one masked int-min; the
+        previously selected key doubles as the erase set."""
+        bt, btri = bts[0], btris[0]
+        ox1, oy1, oz1 = oxs[0], oys[0], ozs[0]
+        dx1, dy1, dz1 = dxs[0], dys[0], dzs[0]
+        e = _slab_entry_rows(
+            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+            ox1, oy1, oz1, rays_k[0][6], rays_k[0][7], rays_k[0][8], bt,
+        )
+        group_sel = e.shape[0]
+        bits = max(1, int(group_sel - 1).bit_length())
+        rowmask = np.int32((1 << bits) - 1)
+        packed = _pack_entry_keys(e, bits)
+        starts_rows = startf_ref[s]
+
+        m0 = _mono_select(packed, jnp.full((tile,), -1, jnp.int32),
+                          _bound_keys(bt, bits))
+        if finish is not None:
+            finish()  # the build/selection above never read tbufT
+
+        def g_cond(st):
+            return st[3] < _IMAX
+
+        def g_body(st):
+            bt, btri, m, _ = st
+            jb = jnp.bitwise_and(m, rowmask)[None, :]
+            v = _gather_rows_T(tbufT, jb, range(9))
+            t_cand, slot = _mt_block_T(v, ox1, oy1, oz1, dx1, dy1, dz1, bt)
+            start_lane = _gather_lanes(starts_rows, jb)[0]
+            tri = start_lane.astype(jnp.int32) + slot
+            better = t_cand < bt
+            bt = jnp.where(better, t_cand, bt)
+            btri = jnp.where(better, tri, btri)
+            m2 = _mono_select(packed, m, _bound_keys(bt, bits))
+            return bt, btri, m2, jnp.min(m2)
+
+        bt, btri, _, _ = jax.lax.while_loop(
+            g_cond, g_body, (bt, btri, m0, jnp.min(m0))
+        )
+        return [bt], [btri]
 
     def cluster_phase(s, bts, btris, finish=None):
+        if use_mono:
+            return cluster_phase_mono(s, bts, btris, finish)
         for k in range(K):
             cl_entries[k][:, :] = _slab_entry_rows(
                 cl_planes_ref[s, 0], cl_planes_ref[s, 1],
@@ -869,8 +964,50 @@ def _any_tile_sweep_grouped(
     occ0_k = [jnp.zeros((tile,), jnp.int32) for _ in range(K)]
 
     use_act = K > 1 and _ACTSEL and cur_entry is not None
+    use_mono = K == 1 and _SUB == 1 and _GROUP_K == 1 and _MONOSEL
+
+    def cluster_phase_mono(s, occs, finish=None):
+        """Monotone packed-key occlusion phase (see _MONOSEL)."""
+        occ = occs[0]
+        ox1, oy1, oz1 = oxs[0], oys[0], ozs[0]
+        dx1, dy1, dz1 = dxs[0], dys[0], dzs[0]
+        bound0 = pending_bound(occ, 0)
+        e = _slab_entry_rows(
+            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+            ox1, oy1, oz1, rays_k[0][6], rays_k[0][7], rays_k[0][8], bound0,
+        )
+        group_sel = e.shape[0]
+        bits = max(1, int(group_sel - 1).bit_length())
+        rowmask = np.int32((1 << bits) - 1)
+        packed = _pack_entry_keys(e, bits)
+
+        m0 = _mono_select(packed, jnp.full((tile,), -1, jnp.int32),
+                          _bound_keys(bound0, bits))
+        if finish is not None:
+            finish()
+
+        def g_cond(st):
+            return st[2] < _IMAX
+
+        def g_body(st):
+            occ, m, _ = st
+            jb = jnp.bitwise_and(m, rowmask)[None, :]
+            v = _gather_rows_T(tbufT, jb, range(9))
+            t_cand, _ = _mt_block_T(v, ox1, oy1, oz1, dx1, dy1, dz1,
+                                    pending_bound(occ, 0))
+            occ = jnp.where(jnp.isfinite(t_cand), jnp.int32(1), occ)
+            m2 = _mono_select(packed, m,
+                              _bound_keys(pending_bound(occ, 0), bits))
+            return occ, m2, jnp.min(m2)
+
+        occ, _, _ = jax.lax.while_loop(
+            g_cond, g_body, (occ, m0, jnp.min(m0))
+        )
+        return [occ]
 
     def cluster_phase(s, occs, finish=None):
+        if use_mono:
+            return cluster_phase_mono(s, occs, finish)
         for k in range(K):
             cl_entries[k][:, :] = _slab_entry_rows(
                 cl_planes_ref[s, 0], cl_planes_ref[s, 1],
