@@ -299,28 +299,55 @@ _MONOSEL = os.environ.get("RAYFINDER_MONOSEL", "0") == "1"
 _IMAX = np.int32(0x7FFFFFFF)
 
 
-def _pack_entry_keys(e, bits: int):
+def _pack_entry_keys(e, bits: int, k: int = 0, kbits: int = 0):
     """(rows, TILE) f32 slab entries (>= 0, or +inf where the slab test
     fails) -> sortable int32 keys, row index in the low `bits` bits.
     Non-negative f32 bit patterns order like the floats, so the int keys
-    order like (quantized entry, row index)."""
+    order like (quantized entry, row index).
+
+    K-aggregated sweeps (kbits > 0) additionally prefix the RAY index k
+    above the entry bits: key = (k << (31 - kbits)) | (eb >> (bits +
+    kbits) << bits) | row. Ray order then dominates entry order, so a
+    plain min serves each lane's rays strictly in order — the monotone-act
+    semantics of _act_select with NO act bookkeeping at all. The entry is
+    quantized by dropping its low (bits + kbits) bits: order-only
+    perturbation; exactness is unaffected (bound-guarded tests,
+    conservative bound keys)."""
     row_io = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
     eb = jax.lax.bitcast_convert_type(e, jnp.int32)
-    mask = np.int32((1 << bits) - 1)
-    return jnp.bitwise_or(jnp.bitwise_and(eb, ~mask), row_io)
+    if kbits == 0:
+        mask = np.int32((1 << bits) - 1)
+        return jnp.bitwise_or(jnp.bitwise_and(eb, ~mask), row_io)
+    drop = bits + kbits
+    quant = jnp.left_shift(jnp.right_shift(eb, drop), bits)
+    return jnp.bitwise_or(
+        jnp.bitwise_or(np.int32(k << (31 - kbits)), quant), row_io
+    )
 
 
-def _bound_keys(bt, bits: int):
+def _bound_keys(bt, bits: int, k: int = 0, kbits: int = 0):
     """Per-lane f32 bound -> packed-key-space exclusive upper bound.
     entry < bt  =>  packed(entry) < bound_key(bt): packed <= entry_bits -
     low + idx <= entry_bits + mask <= (bt_bits - 1) + mask < (bt_bits |
     mask) + 1. A -inf bound (parked/occluded lane) bitcasts negative and
     stays negative, excluding every (non-negative) packed entry. No
     overflow: the largest finite bt gives (0x7F7FFFFF | mask) + 1 =
-    0x7F800000 + mask'."""
+    0x7F800000 + mask'.
+
+    kbits > 0 mirrors _pack_entry_keys: bound_key = (k << (31 - kbits)) |
+    (bb >> drop << bits) + 2^bits. eb < bb => eb >> drop <= bb >> drop =>
+    quant(eb) | row <= (bb >> drop << bits) + 2^bits - 1 < bound_key. A
+    negative bb (bound -inf) right-shifts arithmetically and ORs to a
+    negative key, excluding every non-negative packed entry of that ray."""
     bb = jax.lax.bitcast_convert_type(bt, jnp.int32)
-    mask = np.int32((1 << bits) - 1)
-    return jnp.bitwise_or(bb, mask) + jnp.int32(1)
+    if kbits == 0:
+        mask = np.int32((1 << bits) - 1)
+        return jnp.bitwise_or(bb, mask) + jnp.int32(1)
+    drop = bits + kbits
+    quant = jnp.left_shift(jnp.right_shift(bb, drop), bits)
+    return jnp.bitwise_or(np.int32(k << (31 - kbits)), quant) + jnp.int32(
+        1 << bits
+    )
 
 
 def _mono_select(packed, last, bkey):
@@ -766,50 +793,88 @@ def _closest_tile_sweep_grouped(
     dzs = [r[5] for r in rays_k]
 
     use_act = K > 1 and _ACTSEL and cur_entry is not None
-    use_mono = K == 1 and _SUB == 1 and _GROUP_K == 1 and _MONOSEL
+    use_mono = _SUB == 1 and _GROUP_K == 1 and _MONOSEL
 
     def cluster_phase_mono(s, bts, btris, finish=None):
         """Monotone packed-key cluster phase (see _MONOSEL): the entry keys
         stay static in registers; selection is one masked int-min; the
-        previously selected key doubles as the erase set."""
-        bt, btri = bts[0], btris[0]
-        ox1, oy1, oz1 = oxs[0], oys[0], ozs[0]
-        dx1, dy1, dz1 = dxs[0], dys[0], dzs[0]
-        e = _slab_entry_rows(
-            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
-            ox1, oy1, oz1, rays_k[0][6], rays_k[0][7], rays_k[0][8], bt,
-        )
-        group_sel = e.shape[0]
+        previously selected key doubles as the erase set. K > 1 prefixes
+        the ray index onto the keys, so the same min serves each lane's K
+        rays strictly in order (K-aggregation with no act bookkeeping)."""
+        kbits = max(0, int(K - 1).bit_length())
+        es = [
+            _slab_entry_rows(
+                cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+                oxs[k], oys[k], ozs[k],
+                rays_k[k][6], rays_k[k][7], rays_k[k][8], bts[k],
+            )
+            for k in range(K)
+        ]
+        group_sel = es[0].shape[0]
         bits = max(1, int(group_sel - 1).bit_length())
         rowmask = np.int32((1 << bits) - 1)
-        packed = _pack_entry_keys(e, bits)
+        packeds = [
+            _pack_entry_keys(es[k], bits, k=k, kbits=kbits) for k in range(K)
+        ]
         starts_rows = startf_ref[s]
 
-        m0 = _mono_select(packed, jnp.full((tile,), -1, jnp.int32),
-                          _bound_keys(bt, bits))
+        def select(last, bts):
+            m = None
+            for k in range(K):
+                bk = _bound_keys(bts[k], bits, k=k, kbits=kbits)
+                cand = jnp.where(
+                    (packeds[k] > last[None, :]) & (packeds[k] < bk[None, :]),
+                    packeds[k], _IMAX,
+                )
+                mk = jnp.min(cand, axis=0)
+                m = mk if m is None else jnp.minimum(m, mk)
+            return m
+
+        m0 = select(jnp.full((tile,), -1, jnp.int32), bts)
         if finish is not None:
-            finish()  # the build/selection above never read tbufT
+            finish()  # the builds/selection above never read tbufT
 
         def g_cond(st):
-            return st[3] < _IMAX
+            return st[-1] < _IMAX
 
         def g_body(st):
-            bt, btri, m, _ = st
+            bts = list(st[0:K])
+            btris = list(st[K:2 * K])
+            m = st[2 * K]
             jb = jnp.bitwise_and(m, rowmask)[None, :]
             v = _gather_rows_T(tbufT, jb, range(9))
-            t_cand, slot = _mt_block_T(v, ox1, oy1, oz1, dx1, dy1, dz1, bt)
+            if K == 1:
+                ox, oy, oz = oxs[0], oys[0], ozs[0]
+                dx, dy, dz = dxs[0], dys[0], dzs[0]
+                bound = bts[0]
+            else:
+                act = jnp.right_shift(m, 31 - kbits)
+                ox = _sel_k(act, oxs)
+                oy = _sel_k(act, oys)
+                oz = _sel_k(act, ozs)
+                dx = _sel_k(act, dxs)
+                dy = _sel_k(act, dys)
+                dz = _sel_k(act, dzs)
+                bound = _sel_k(act, bts)
+            t_cand, slot = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bound)
             start_lane = _gather_lanes(starts_rows, jb)[0]
             tri = start_lane.astype(jnp.int32) + slot
-            better = t_cand < bt
-            bt = jnp.where(better, t_cand, bt)
-            btri = jnp.where(better, tri, btri)
-            m2 = _mono_select(packed, m, _bound_keys(bt, bits))
-            return bt, btri, m2, jnp.min(m2)
+            if K == 1:
+                better = t_cand < bts[0]
+                bts = [jnp.where(better, t_cand, bts[0])]
+                btris = [jnp.where(better, tri, btris[0])]
+            else:
+                for k in range(K):
+                    better = (act == k) & (t_cand < bts[k])
+                    bts[k] = jnp.where(better, t_cand, bts[k])
+                    btris[k] = jnp.where(better, tri, btris[k])
+            m2 = select(m, bts)
+            return (*bts, *btris, m2, jnp.min(m2))
 
-        bt, btri, _, _ = jax.lax.while_loop(
-            g_cond, g_body, (bt, btri, m0, jnp.min(m0))
+        st = jax.lax.while_loop(
+            g_cond, g_body, (*bts, *btris, m0, jnp.min(m0))
         )
-        return [bt], [btri]
+        return list(st[0:K]), list(st[K:2 * K])
 
     def cluster_phase(s, bts, btris, finish=None):
         if use_mono:
@@ -964,46 +1029,84 @@ def _any_tile_sweep_grouped(
     occ0_k = [jnp.zeros((tile,), jnp.int32) for _ in range(K)]
 
     use_act = K > 1 and _ACTSEL and cur_entry is not None
-    use_mono = K == 1 and _SUB == 1 and _GROUP_K == 1 and _MONOSEL
+    use_mono = _SUB == 1 and _GROUP_K == 1 and _MONOSEL
 
     def cluster_phase_mono(s, occs, finish=None):
-        """Monotone packed-key occlusion phase (see _MONOSEL)."""
-        occ = occs[0]
-        ox1, oy1, oz1 = oxs[0], oys[0], ozs[0]
-        dx1, dy1, dz1 = dxs[0], dys[0], dzs[0]
-        bound0 = pending_bound(occ, 0)
-        e = _slab_entry_rows(
-            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
-            ox1, oy1, oz1, rays_k[0][6], rays_k[0][7], rays_k[0][8], bound0,
-        )
-        group_sel = e.shape[0]
+        """Monotone packed-key occlusion phase (see _MONOSEL); K > 1 as in
+        the closest phase (ray index prefixed onto the keys)."""
+        kbits = max(0, int(K - 1).bit_length())
+        es = [
+            _slab_entry_rows(
+                cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+                oxs[k], oys[k], ozs[k],
+                rays_k[k][6], rays_k[k][7], rays_k[k][8],
+                pending_bound(occs[k], k),
+            )
+            for k in range(K)
+        ]
+        group_sel = es[0].shape[0]
         bits = max(1, int(group_sel - 1).bit_length())
         rowmask = np.int32((1 << bits) - 1)
-        packed = _pack_entry_keys(e, bits)
+        packeds = [
+            _pack_entry_keys(es[k], bits, k=k, kbits=kbits) for k in range(K)
+        ]
 
-        m0 = _mono_select(packed, jnp.full((tile,), -1, jnp.int32),
-                          _bound_keys(bound0, bits))
+        def select(last, occs):
+            m = None
+            for k in range(K):
+                bk = _bound_keys(pending_bound(occs[k], k), bits,
+                                 k=k, kbits=kbits)
+                cand = jnp.where(
+                    (packeds[k] > last[None, :]) & (packeds[k] < bk[None, :]),
+                    packeds[k], _IMAX,
+                )
+                mk = jnp.min(cand, axis=0)
+                m = mk if m is None else jnp.minimum(m, mk)
+            return m
+
+        m0 = select(jnp.full((tile,), -1, jnp.int32), occs)
         if finish is not None:
             finish()
 
         def g_cond(st):
-            return st[2] < _IMAX
+            return st[-1] < _IMAX
 
         def g_body(st):
-            occ, m, _ = st
+            occs = list(st[0:K])
+            m = st[K]
             jb = jnp.bitwise_and(m, rowmask)[None, :]
             v = _gather_rows_T(tbufT, jb, range(9))
-            t_cand, _ = _mt_block_T(v, ox1, oy1, oz1, dx1, dy1, dz1,
-                                    pending_bound(occ, 0))
-            occ = jnp.where(jnp.isfinite(t_cand), jnp.int32(1), occ)
-            m2 = _mono_select(packed, m,
-                              _bound_keys(pending_bound(occ, 0), bits))
-            return occ, m2, jnp.min(m2)
+            if K == 1:
+                ox, oy, oz = oxs[0], oys[0], ozs[0]
+                dx, dy, dz = dxs[0], dys[0], dzs[0]
+                bound = pending_bound(occs[0], 0)
+            else:
+                act = jnp.right_shift(m, 31 - kbits)
+                ox = _sel_k(act, oxs)
+                oy = _sel_k(act, oys)
+                oz = _sel_k(act, ozs)
+                dx = _sel_k(act, dxs)
+                dy = _sel_k(act, dys)
+                dz = _sel_k(act, dzs)
+                bound = _sel_k(
+                    act, [pending_bound(occs[k], k) for k in range(K)]
+                )
+            t_cand, _ = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bound)
+            hit = jnp.isfinite(t_cand)
+            if K == 1:
+                occs = [jnp.where(hit, jnp.int32(1), occs[0])]
+            else:
+                for k in range(K):
+                    occs[k] = jnp.where(
+                        (act == k) & hit, jnp.int32(1), occs[k]
+                    )
+            m2 = select(m, occs)
+            return (*occs, m2, jnp.min(m2))
 
-        occ, _, _ = jax.lax.while_loop(
-            g_cond, g_body, (occ, m0, jnp.min(m0))
+        st = jax.lax.while_loop(
+            g_cond, g_body, (*occs, m0, jnp.min(m0))
         )
-        return [occ]
+        return list(st[0:K])
 
     def cluster_phase(s, occs, finish=None):
         if use_mono:

@@ -168,7 +168,9 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
 
     # Monotone packed-key selection (_MONOSEL): erase-free per-lane
     # selection over bitcast int keys; must equal the default grouped path
-    # exactly on both the multi-super scene and the single-super fast path.
+    # exactly on the multi-super scene (at K = 1 and K-aggregated KRAYS=4,
+    # where the ray index rides the key prefix) and the single-super fast
+    # path.
     monkeypatch.setattr(pw, "KRAYS", 1)
     monkeypatch.setattr(pw, "_ACTSEL", True)
     monkeypatch.setattr(pw, "_MONOSEL", True)
@@ -176,6 +178,12 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
     np.testing.assert_array_equal(occv, occg)
     np.testing.assert_array_equal(triv, trig)
     np.testing.assert_allclose(tv, tg, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "KRAYS", 4)
+    tv, triv, occv = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
+    np.testing.assert_array_equal(occv, occg)
+    np.testing.assert_array_equal(triv, trig)
+    np.testing.assert_allclose(tv, tg, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "KRAYS", 1)
     td, trid, occd = run(duck_device_scene, o, d, "1")
     tf0, trif0, occf0 = run(duck_device_scene, o, d, "0")
     np.testing.assert_array_equal(occd, occf0)
