@@ -42,7 +42,23 @@ solar_radiance = jnp.asarray(sky.solar_radiances)
 park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
 
 ys_np, xs_np, _ = block_order(W, H)
-ys, xs = jnp.asarray(ys_np)[:P1], jnp.asarray(xs_np)[:P1]
+# Phase-1 lanes are the still-busy (hit-region) pixels after compaction —
+# the first P1 block-order pixels are pure sky and die in one call. Pick
+# the first P1 pixels whose primary ray HITS (plus filler), like the real
+# compaction does.
+from rayfinder_tpu.render.wavefront import intersect_closest_wavefront
+_u = (xs_np.astype(np.float32) + 0.5) / W
+_v = 1.0 - (ys_np.astype(np.float32) + 0.5) / H
+_o, _d = generate_camera_ray_lens(
+    create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0, W / H),
+    jnp.zeros((W * H, 2), jnp.float32), jnp.asarray(_u), jnp.asarray(_v))
+_hit, _, _, _ = intersect_closest_wavefront(
+    load_device_scene("/root/reference/assets/Duck.glb"), _o, _d,
+    jnp.float32(1e4))
+_hit = np.asarray(_hit)
+_idx = np.concatenate([np.nonzero(_hit)[0], np.nonzero(~_hit)[0]])[:P1]
+_idx.sort()  # keep block-major coherence
+ys, xs = jnp.asarray(ys_np)[_idx], jnp.asarray(xs_np)[_idx]
 u = (xs.astype(jnp.float32) + 0.5) / W
 v_tex = (ys.astype(jnp.float32) + 0.5) / H
 nb = tile[ys % 128, xs % 128]

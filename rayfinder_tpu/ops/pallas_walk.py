@@ -813,18 +813,26 @@ def _closest_tile_sweep_grouped(
         group_sel = es[0].shape[0]
         bits = max(1, int(group_sel - 1).bit_length())
         rowmask = np.int32((1 << bits) - 1)
-        packeds = [
-            _pack_entry_keys(es[k], bits, k=k, kbits=kbits) for k in range(K)
-        ]
+        # Park the packed keys in the entry scratch (bitcast as f32) and
+        # re-read them per selection round: keeping them as while-captured
+        # register values puts 16*K registers live across the whole MT
+        # block (probe_prebuilt measured exactly this pattern losing big).
+        for k in range(K):
+            cl_entries[k][:, :] = jax.lax.bitcast_convert_type(
+                _pack_entry_keys(es[k], bits, k=k, kbits=kbits), jnp.float32
+            )
         starts_rows = startf_ref[s]
 
         def select(last, bts):
             m = None
             for k in range(K):
+                packed = jax.lax.bitcast_convert_type(
+                    cl_entries[k][:, :], jnp.int32
+                )
                 bk = _bound_keys(bts[k], bits, k=k, kbits=kbits)
                 cand = jnp.where(
-                    (packeds[k] > last[None, :]) & (packeds[k] < bk[None, :]),
-                    packeds[k], _IMAX,
+                    (packed > last[None, :]) & (packed < bk[None, :]),
+                    packed, _IMAX,
                 )
                 mk = jnp.min(cand, axis=0)
                 m = mk if m is None else jnp.minimum(m, mk)
@@ -1047,18 +1055,24 @@ def _any_tile_sweep_grouped(
         group_sel = es[0].shape[0]
         bits = max(1, int(group_sel - 1).bit_length())
         rowmask = np.int32((1 << bits) - 1)
-        packeds = [
-            _pack_entry_keys(es[k], bits, k=k, kbits=kbits) for k in range(K)
-        ]
+        # Packed keys ride the entry scratch, not while-captured registers
+        # (see the closest phase).
+        for k in range(K):
+            cl_entries[k][:, :] = jax.lax.bitcast_convert_type(
+                _pack_entry_keys(es[k], bits, k=k, kbits=kbits), jnp.float32
+            )
 
         def select(last, occs):
             m = None
             for k in range(K):
+                packed = jax.lax.bitcast_convert_type(
+                    cl_entries[k][:, :], jnp.int32
+                )
                 bk = _bound_keys(pending_bound(occs[k], k), bits,
                                  k=k, kbits=kbits)
                 cand = jnp.where(
-                    (packeds[k] > last[None, :]) & (packeds[k] < bk[None, :]),
-                    packeds[k], _IMAX,
+                    (packed > last[None, :]) & (packed < bk[None, :]),
+                    packed, _IMAX,
                 )
                 mk = jnp.min(cand, axis=0)
                 m = mk if m is None else jnp.minimum(m, mk)
@@ -1299,6 +1313,15 @@ def _scene_tables_grouped(scene):
 # much as a Möller-Trumbore block — wider K amortizes it at the price of up
 # to K-1 wasted (all-lanes-masked) MT blocks on the final iteration.
 _SWEEP_K = int(os.environ.get("RAYFINDER_SWEEP_K", "2"))
+# Tile-level skip guards for the single-super fast paths: a sky-pointing or
+# fully-parked tile currently pays the whole (rows, TILE) cluster entry
+# build plus the first selection sync just to discover it has nothing to
+# test. The closest sweep pre-rejects against the ROOT (single-super) AABB
+# — one 1-row slab test + a scalar any — and the occlusion sweep guards on
+# any pending bound. Measured motivation: an all-dead 49152-lane Duck
+# dispatch costs 1.45 ms (~3.7us/tile of pure build+sync floor), and the
+# full-width sky phase (0.194 s of the 64spp bench run) is ~90% sky tiles.
+_ROOT_SKIP = os.environ.get("RAYFINDER_ROOT_SKIP", "0") == "1"
 # Pipelined row selection in _cluster_sweep (see its docstring). TPU A/B
 # (v5e, 2026-08-19, two runs each): Duck 51.04/51.42 Mrays/s vs 49.06/49.94
 # at 0 (+3%); courtyard unchanged (grouped sweeps don't use _cluster_sweep).
@@ -1440,27 +1463,44 @@ def _closest_tile_sweep(
 
     if num_supers == 1:
         s1 = jnp.int32(0)
-        miss1 = _fetch_super_start(table_hbm, tbuf, sem, cache_tag, s1)
-        cl_entry[:, :] = _slab_entry_rows(
-            cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+
+        def sweep_super0(bound0):
+            miss1 = _fetch_super_start(table_hbm, tbuf, sem, cache_tag, s1)
+            cl_entry[:, :] = _slab_entry_rows(
+                cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+                ox, oy, oz, ix, iy, iz, bound0,
+            )
+            _fetch_super_wait(table_hbm, tbuf, sem, miss1, s1)
+
+            def test_one0(j, erow, carry):
+                bt, btri = carry
+                need = erow < bt
+                t_cand, slot = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, bt)
+                better = need & (t_cand < bt)
+                tri = start_ref[j] + slot
+                bt = jnp.where(better, t_cand, bt)
+                btri = jnp.where(better, tri, btri)
+                return (bt, btri), bt
+
+            (bt, btri), _ = _cluster_sweep(
+                tbuf, cl_entry, test_one0, bound0, (bound0, btri0)
+            )
+            return bt, btri
+
+        if not _ROOT_SKIP:
+            return sweep_super0(bound0)
+        # Tile-level pre-reject (see _ROOT_SKIP): one 1-row slab test
+        # against the root AABB; a tile with no lane entering it (sky
+        # tiles, fully-parked tiles) skips the whole entry build + sweep.
+        root_e = _slab_entry_rows(
+            super_min_ref[:, :], super_max_ref[:, :],
             ox, oy, oz, ix, iy, iz, bound0,
         )
-        _fetch_super_wait(table_hbm, tbuf, sem, miss1, s1)
-
-        def test_one0(j, erow, carry):
-            bt, btri = carry
-            need = erow < bt
-            t_cand, slot = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, bt)
-            better = need & (t_cand < bt)
-            tri = start_ref[j] + slot
-            bt = jnp.where(better, t_cand, bt)
-            btri = jnp.where(better, tri, btri)
-            return (bt, btri), bt
-
-        (bt, btri), _ = _cluster_sweep(
-            tbuf, cl_entry, test_one0, bound0, (bound0, btri0)
+        return jax.lax.cond(
+            jnp.min(root_e) < jnp.inf,
+            lambda: sweep_super0(bound0),
+            lambda: (bound0, btri0),
         )
-        return bt, btri
 
     super_entry[:, :] = _slab_entry_rows(
         super_min_ref[:, :], super_max_ref[:, :],
@@ -1709,23 +1749,36 @@ def _any_tile_sweep(
 
     if num_supers == 1:
         s1 = jnp.int32(0)
-        miss1 = _fetch_super_start(table_hbm, tbuf, sem, cache_tag, s1)
-        cl_entry[:, :] = _slab_entry_rows(
-            cl_planes_ref[0, 0], cl_planes_ref[0, 1],
-            ox, oy, oz, ix, iy, iz, tmax,
-        )
-        _fetch_super_wait(table_hbm, tbuf, sem, miss1, s1)
 
-        def test_one0(j, erow, occ):
-            need = jnp.isfinite(erow) & (occ == 0)
-            t_cand, _ = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, tmax)
-            occ = jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
-            return occ, pending_bound(occ)
+        def sweep_super0():
+            miss1 = _fetch_super_start(table_hbm, tbuf, sem, cache_tag, s1)
+            cl_entry[:, :] = _slab_entry_rows(
+                cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+                ox, oy, oz, ix, iy, iz, tmax,
+            )
+            _fetch_super_wait(table_hbm, tbuf, sem, miss1, s1)
 
-        occ, _ = _cluster_sweep(
-            tbuf, cl_entry, test_one0, pending_bound(occ0), occ0
+            def test_one0(j, erow, occ):
+                need = jnp.isfinite(erow) & (occ == 0)
+                t_cand, _ = _mt_block(tbuf, j, ox, oy, oz, dx, dy, dz, tmax)
+                occ = jnp.where(need & jnp.isfinite(t_cand), jnp.int32(1), occ)
+                return occ, pending_bound(occ)
+
+            occ, _ = _cluster_sweep(
+                tbuf, cl_entry, test_one0, pending_bound(occ0), occ0
+            )
+            return occ
+
+        if not _ROOT_SKIP:
+            return sweep_super0()
+        # Tile-level skip (see _ROOT_SKIP): a tile with no pending bound
+        # (no live shadow ray — the common case for sky tiles and the NEE
+        # prologue of drained tiles) skips the entry build + sweep.
+        return jax.lax.cond(
+            jnp.max(pending_bound(occ0)) > -jnp.inf,
+            sweep_super0,
+            lambda: occ0,
         )
-        return occ
 
     super_entry[:, :] = _slab_entry_rows(
         super_min_ref[:, :], super_max_ref[:, :],

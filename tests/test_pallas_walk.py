@@ -190,3 +190,13 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
     np.testing.assert_array_equal(trid, trif0)
     np.testing.assert_allclose(td, tf0, rtol=0, atol=0)
     monkeypatch.setattr(pw, "_MONOSEL", False)
+
+    # Tile-level skip guards (_ROOT_SKIP): the root-AABB pre-reject and the
+    # pending-bound occlusion guard must not change any result (they skip
+    # only tiles that would test nothing).
+    monkeypatch.setattr(pw, "_ROOT_SKIP", True)
+    tr, trir, occr = run(duck_device_scene, o, d, "0")
+    np.testing.assert_array_equal(occr, occf0)
+    np.testing.assert_array_equal(trir, trif0)
+    np.testing.assert_allclose(tr, tf0, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "_ROOT_SKIP", False)
