@@ -297,6 +297,15 @@ _PREBUILT_MAX_BYTES = int(
 # and the mask is conservative (entry < bound => packed < bound_key).
 _MONOSEL = os.environ.get("RAYFINDER_MONOSEL", "0") == "1"
 _IMAX = np.int32(0x7FFFFFFF)
+# Pipelined super selection in the grouped sweeps: select the NEXT super
+# (and the loop-exit key) from the bounds at VISIT START, before the
+# cluster phase runs, so the vector->scalar index extraction resolves
+# under the sweep instead of serializing after it (the per-visit analog
+# of _PIPE_SEL). Stale bounds are a superset: the loop can pay one extra
+# no-op visit (build + select-exit, and possibly one spurious super DMA)
+# per tile, but never skips a needed super. Exactness unchanged (accepts
+# are bound-guarded at test time).
+_PIPE_SUPER = os.environ.get("RAYFINDER_PIPE_SUPER", "0") == "1"
 
 
 def _pack_entry_keys(e, bits: int, k: int = 0, kbits: int = 0):
@@ -998,6 +1007,19 @@ def _closest_tile_sweep_grouped(
         btris = list(state[K:2 * K])
         s = state[2 * K]
         miss = _fetch_super_start(tableT_hbm, tbufT, sem, cache_tag, s)
+        if _PIPE_SUPER:
+            # Erase s, then select the next super against the PRE-sweep
+            # bounds: the scalar extraction rides under the cluster phase.
+            inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
+            for k in range(K):
+                super_entries[k][s, :] = inf_row
+            s_next, key = _next_row_k(super_entries, bts)
+            bts, btris = cluster_phase(
+                s, bts, btris,
+                finish=lambda: _fetch_super_wait(
+                    tableT_hbm, tbufT, sem, miss, s),
+            )
+            return (*bts, *btris, s_next, key)
         bts, btris = cluster_phase(
             s, bts, btris,
             finish=lambda: _fetch_super_wait(tableT_hbm, tbufT, sem, miss, s),
@@ -1232,6 +1254,19 @@ def _any_tile_sweep_grouped(
         occs = list(state[0:K])
         s = state[K]
         miss = _fetch_super_start(tableT_hbm, tbufT, sem, cache_tag, s)
+        if _PIPE_SUPER:
+            inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
+            for k in range(K):
+                super_entries[k][s, :] = inf_row
+            s_next, key = _next_row_k(
+                super_entries, [pending_bound(occs[k], k) for k in range(K)]
+            )
+            occs = cluster_phase(
+                s, occs,
+                finish=lambda: _fetch_super_wait(
+                    tableT_hbm, tbufT, sem, miss, s),
+            )
+            return (*occs, s_next, key)
         occs = cluster_phase(
             s, occs,
             finish=lambda: _fetch_super_wait(tableT_hbm, tbufT, sem, miss, s),

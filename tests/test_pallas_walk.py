@@ -200,3 +200,18 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
     np.testing.assert_array_equal(trir, trif0)
     np.testing.assert_allclose(tr, tf0, rtol=0, atol=0)
     monkeypatch.setattr(pw, "_ROOT_SKIP", False)
+
+    # Pipelined super selection (_PIPE_SUPER): stale-bound next-super pick
+    # may reorder/over-visit but never changes accepts.
+    monkeypatch.setattr(pw, "_PIPE_SUPER", True)
+    tp_, trip_, occp_ = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
+    np.testing.assert_array_equal(occp_, occg)
+    np.testing.assert_array_equal(trip_, trig)
+    np.testing.assert_allclose(tp_, tg, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "_MONOSEL", True)
+    tp_, trip_, occp_ = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
+    np.testing.assert_array_equal(occp_, occg)
+    np.testing.assert_array_equal(trip_, trig)
+    np.testing.assert_allclose(tp_, tg, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "_MONOSEL", False)
+    monkeypatch.setattr(pw, "_PIPE_SUPER", False)
