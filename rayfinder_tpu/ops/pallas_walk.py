@@ -295,8 +295,100 @@ _PREBUILT_MAX_BYTES = int(
 # within a 2^bits-ulp bucket and admits a few rows slightly past the bound:
 # accepts stay exact because every Möller-Trumbore test is bound-guarded
 # and the mask is conservative (entry < bound => packed < bound_key).
-_MONOSEL = os.environ.get("RAYFINDER_MONOSEL", "0") == "1"
+_MONOSEL_MODE = os.environ.get("RAYFINDER_MONOSEL", "0")
+_MONOSEL = _MONOSEL_MODE in ("1", "2")
+# Mode 2: keys live as BIAS-shifted f32 (still ordered like the packed int
+# keys) so every selection compare/min is a native VPU float op — measured
+# on v5e the int32 masked-min path (mode 1) lowers ~5-10% slower than the
+# f32 masked-min+argmin it replaced. The +2^23 bias keeps zero-entry keys
+# normal (TPU flushes subnormals); entries are clamped to 1e30 so no key
+# reaches the inf/NaN bit range.
+_MONO_F32 = _MONOSEL_MODE == "2"
 _IMAX = np.int32(0x7FFFFFFF)
+_KEY_BIAS = np.int32(1 << 23)
+
+
+class _KeyCodec:
+    """Monotone packed-key codec (see _MONOSEL): row index in the low
+    `bits` bits, optional ray index k in a high field (kbits > 0, K <= 8),
+    entry bits quantized in between. mode f32 shifts the int key by
+    _KEY_BIAS and bitcasts, so compares and mins run as ordinary positive
+    floats; masked-out lanes carry +inf (int mode: _IMAX)."""
+
+    def __init__(self, bits: int, kbits: int, f32: bool):
+        self.bits, self.kbits, self.f32 = bits, kbits, f32
+        self.rowmask = np.int32((1 << bits) - 1)
+        # k field low bit: 28 keeps every f32 key below the inf/NaN range
+        # after the bias; the entry field is whatever sits between.
+        self.kshift = 28 if kbits else 0
+        self.drop = (31 - (self.kshift - bits)) if kbits else bits
+
+    def pack(self, e, k: int):
+        if self.kbits == 0 and not self.f32:
+            return _pack_entry_keys(e, self.bits)
+        row_io = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
+        if self.f32:
+            e = jnp.minimum(e, jnp.float32(1e30))  # inf keys stay finite
+        eb = jax.lax.bitcast_convert_type(e, jnp.int32)
+        quant = jnp.left_shift(jnp.right_shift(eb, self.drop),
+                               self.bits)
+        key = jnp.bitwise_or(quant, row_io)
+        if self.kbits:
+            key = jnp.bitwise_or(key, np.int32(k << self.kshift))
+        if self.f32:
+            return jax.lax.bitcast_convert_type(key + _KEY_BIAS, jnp.float32)
+        return key
+
+    def bound(self, bt, k: int):
+        if self.kbits == 0 and not self.f32:
+            return _bound_keys(bt, self.bits)
+        bb = jax.lax.bitcast_convert_type(bt, jnp.int32)
+        quant = jnp.left_shift(jnp.right_shift(bb, self.drop), self.bits)
+        key = quant + jnp.int32(1 << self.bits)
+        if self.kbits:
+            key = jnp.bitwise_or(quant, np.int32(k << self.kshift)) \
+                + jnp.int32(1 << self.bits)
+        if self.f32:
+            # Negative bounds (-inf = parked) must exclude every key;
+            # express that directly instead of relying on wrapped bits.
+            return jnp.where(
+                bt < 0.0, jnp.float32(-1.0),
+                jax.lax.bitcast_convert_type(key + _KEY_BIAS, jnp.float32),
+            )
+        return key
+
+    def masked(self):
+        return jnp.float32(jnp.inf) if self.f32 else _IMAX
+
+    def store(self, ref, key):
+        ref[:, :] = key if self.f32 else jax.lax.bitcast_convert_type(
+            key, jnp.float32)
+
+    def load(self, ref):
+        v = ref[:, :]
+        return v if self.f32 else jax.lax.bitcast_convert_type(v, jnp.int32)
+
+    def row(self, m):
+        mb = jax.lax.bitcast_convert_type(m, jnp.int32) if self.f32 else m
+        return jnp.bitwise_and(mb, self.rowmask)
+
+    def act(self, m):
+        mb = jax.lax.bitcast_convert_type(m, jnp.int32) if self.f32 else m
+        return jnp.bitwise_and(
+            jnp.right_shift(mb, self.kshift),
+            np.int32((1 << self.kbits) - 1),
+        )
+
+    def last0(self, tile: int):
+        if self.f32:
+            return jnp.full((tile,), -1.0, jnp.float32)
+        return jnp.full((tile,), -1, jnp.int32)
+
+    def more(self, key_scalar):
+        """while-cond: any lane still has a selectable row."""
+        if self.f32:
+            return key_scalar < jnp.float32(jnp.inf)
+        return key_scalar < _IMAX
 # Pipelined super selection in the grouped sweeps: select the NEXT super
 # (and the loop-exit key) from the bounds at VISIT START, before the
 # cluster phase runs, so the vector->scalar index extraction resolves
@@ -821,51 +913,47 @@ def _closest_tile_sweep_grouped(
         ]
         group_sel = es[0].shape[0]
         bits = max(1, int(group_sel - 1).bit_length())
-        rowmask = np.int32((1 << bits) - 1)
-        # Park the packed keys in the entry scratch (bitcast as f32) and
-        # re-read them per selection round: keeping them as while-captured
-        # register values puts 16*K registers live across the whole MT
-        # block (probe_prebuilt measured exactly this pattern losing big).
+        cod = _KeyCodec(bits, kbits, _MONO_F32)
+        # Park the packed keys in the entry scratch and re-read them per
+        # selection round: keeping them as while-captured register values
+        # puts 16*K registers live across the whole MT block
+        # (probe_prebuilt measured exactly this pattern losing big).
         for k in range(K):
-            cl_entries[k][:, :] = jax.lax.bitcast_convert_type(
-                _pack_entry_keys(es[k], bits, k=k, kbits=kbits), jnp.float32
-            )
+            cod.store(cl_entries[k], cod.pack(es[k], k))
         starts_rows = startf_ref[s]
 
         def select(last, bts):
             m = None
             for k in range(K):
-                packed = jax.lax.bitcast_convert_type(
-                    cl_entries[k][:, :], jnp.int32
-                )
-                bk = _bound_keys(bts[k], bits, k=k, kbits=kbits)
+                packed = cod.load(cl_entries[k])
+                bk = cod.bound(bts[k], k)
                 cand = jnp.where(
                     (packed > last[None, :]) & (packed < bk[None, :]),
-                    packed, _IMAX,
+                    packed, cod.masked(),
                 )
                 mk = jnp.min(cand, axis=0)
                 m = mk if m is None else jnp.minimum(m, mk)
             return m
 
-        m0 = select(jnp.full((tile,), -1, jnp.int32), bts)
+        m0 = select(cod.last0(tile), bts)
         if finish is not None:
             finish()  # the builds/selection above never read tbufT
 
         def g_cond(st):
-            return st[-1] < _IMAX
+            return cod.more(st[-1])
 
         def g_body(st):
             bts = list(st[0:K])
             btris = list(st[K:2 * K])
             m = st[2 * K]
-            jb = jnp.bitwise_and(m, rowmask)[None, :]
+            jb = cod.row(m)[None, :]
             v = _gather_rows_T(tbufT, jb, range(9))
             if K == 1:
                 ox, oy, oz = oxs[0], oys[0], ozs[0]
                 dx, dy, dz = dxs[0], dys[0], dzs[0]
                 bound = bts[0]
             else:
-                act = jnp.right_shift(m, 31 - kbits)
+                act = cod.act(m)
                 ox = _sel_k(act, oxs)
                 oy = _sel_k(act, oys)
                 oz = _sel_k(act, ozs)
@@ -1076,48 +1164,43 @@ def _any_tile_sweep_grouped(
         ]
         group_sel = es[0].shape[0]
         bits = max(1, int(group_sel - 1).bit_length())
-        rowmask = np.int32((1 << bits) - 1)
+        cod = _KeyCodec(bits, kbits, _MONO_F32)
         # Packed keys ride the entry scratch, not while-captured registers
         # (see the closest phase).
         for k in range(K):
-            cl_entries[k][:, :] = jax.lax.bitcast_convert_type(
-                _pack_entry_keys(es[k], bits, k=k, kbits=kbits), jnp.float32
-            )
+            cod.store(cl_entries[k], cod.pack(es[k], k))
 
         def select(last, occs):
             m = None
             for k in range(K):
-                packed = jax.lax.bitcast_convert_type(
-                    cl_entries[k][:, :], jnp.int32
-                )
-                bk = _bound_keys(pending_bound(occs[k], k), bits,
-                                 k=k, kbits=kbits)
+                packed = cod.load(cl_entries[k])
+                bk = cod.bound(pending_bound(occs[k], k), k)
                 cand = jnp.where(
                     (packed > last[None, :]) & (packed < bk[None, :]),
-                    packed, _IMAX,
+                    packed, cod.masked(),
                 )
                 mk = jnp.min(cand, axis=0)
                 m = mk if m is None else jnp.minimum(m, mk)
             return m
 
-        m0 = select(jnp.full((tile,), -1, jnp.int32), occs)
+        m0 = select(cod.last0(tile), occs)
         if finish is not None:
             finish()
 
         def g_cond(st):
-            return st[-1] < _IMAX
+            return cod.more(st[-1])
 
         def g_body(st):
             occs = list(st[0:K])
             m = st[K]
-            jb = jnp.bitwise_and(m, rowmask)[None, :]
+            jb = cod.row(m)[None, :]
             v = _gather_rows_T(tbufT, jb, range(9))
             if K == 1:
                 ox, oy, oz = oxs[0], oys[0], ozs[0]
                 dx, dy, dz = dxs[0], dys[0], dzs[0]
                 bound = pending_bound(occs[0], 0)
             else:
-                act = jnp.right_shift(m, 31 - kbits)
+                act = cod.act(m)
                 ox = _sel_k(act, oxs)
                 oy = _sel_k(act, oys)
                 oz = _sel_k(act, ozs)

@@ -189,6 +189,17 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
     np.testing.assert_array_equal(occd, occf0)
     np.testing.assert_array_equal(trid, trif0)
     np.testing.assert_allclose(td, tf0, rtol=0, atol=0)
+
+    # f32-key mode (_MONO_F32): bias-shifted float keys, same semantics.
+    monkeypatch.setattr(pw, "_MONO_F32", True)
+    for kr in (1, 4):
+        monkeypatch.setattr(pw, "KRAYS", kr)
+        tv, triv, occv = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
+        np.testing.assert_array_equal(occv, occg)
+        np.testing.assert_array_equal(triv, trig)
+        np.testing.assert_allclose(tv, tg, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "KRAYS", 1)
+    monkeypatch.setattr(pw, "_MONO_F32", False)
     monkeypatch.setattr(pw, "_MONOSEL", False)
 
     # Tile-level skip guards (_ROOT_SKIP): the root-AABB pre-reject and the
