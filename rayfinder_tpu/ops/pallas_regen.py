@@ -426,6 +426,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                 row["shadow"], row["shadow_bound"],
                 start_ref, cl_planes_ref, table_hbm, pair_entry, tbuf,
                 cache_tag, sem,
+                super_min_ref=super_min_ref, super_max_ref=super_max_ref,
             )
             vis = jnp.where(occ == 0, jnp.float32(1.0), jnp.float32(0.0))
             s0 = jnp.where(has_nee, s0 + c0 * vis, s0)

@@ -1674,6 +1674,7 @@ _PAIR_K = int(os.environ.get("RAYFINDER_PAIR_K", str(_SWEEP_K)))
 def _pair_tile_sweep(
     cont_rays, bound0, sh_rays, sh_bound,
     start_ref, cl_planes_ref, table_hbm, pair_entry, tbuf, cache_tag, sem,
+    super_min_ref=None, super_max_ref=None,
 ):
     """Fused closest+occlusion sweep for ONE ray tile, single-super scenes.
 
@@ -1706,14 +1707,49 @@ def _pair_tile_sweep(
 
     sp = jnp.int32(0)
     missp = _fetch_super_start(table_hbm, tbuf, sem, cache_tag, sp)
-    pair_entry[0:rows, :] = _slab_entry_rows(
-        cl_planes_ref[0, 0], cl_planes_ref[0, 1],
-        cox, coy, coz, cix, ciy, ciz, bound0,
-    )
-    pair_entry[rows:2 * rows, :] = _slab_entry_rows(
-        cl_planes_ref[0, 0], cl_planes_ref[0, 1],
-        sox, soy, soz, six, siy, siz, sh_bound,
-    )
+    inf_half = jnp.full((rows, tile), jnp.inf, jnp.float32)
+    if _ROOT_SKIP and super_min_ref is not None:
+        # Half-table skip guards (see _ROOT_SKIP): the closest half builds
+        # only if some lane's continuation ray enters the root AABB; the
+        # shadow half only if some lane has a pending NEE bound. Skipped
+        # halves are written as +inf rows (never selected).
+        root_c = _slab_entry_rows(
+            super_min_ref[:, :], super_max_ref[:, :],
+            cox, coy, coz, cix, ciy, ciz, bound0,
+        )
+        cont_any = jnp.min(root_c) < jnp.inf
+        sh_any = jnp.max(sh_bound) > -jnp.inf
+
+        @pl.when(cont_any)
+        def _():
+            pair_entry[0:rows, :] = _slab_entry_rows(
+                cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+                cox, coy, coz, cix, ciy, ciz, bound0,
+            )
+
+        @pl.when(jnp.logical_not(cont_any))
+        def _():
+            pair_entry[0:rows, :] = inf_half
+
+        @pl.when(sh_any)
+        def _():
+            pair_entry[rows:2 * rows, :] = _slab_entry_rows(
+                cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+                sox, soy, soz, six, siy, siz, sh_bound,
+            )
+
+        @pl.when(jnp.logical_not(sh_any))
+        def _():
+            pair_entry[rows:2 * rows, :] = inf_half
+    else:
+        pair_entry[0:rows, :] = _slab_entry_rows(
+            cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+            cox, coy, coz, cix, ciy, ciz, bound0,
+        )
+        pair_entry[rows:2 * rows, :] = _slab_entry_rows(
+            cl_planes_ref[0, 0], cl_planes_ref[0, 1],
+            sox, soy, soz, six, siy, siz, sh_bound,
+        )
     _fetch_super_wait(table_hbm, tbuf, sem, missp, sp)
     row_io = jax.lax.broadcasted_iota(jnp.int32, (2 * rows, tile), 0)
     is_top = row_io < rows
@@ -1738,11 +1774,8 @@ def _pair_tile_sweep(
     def cond(state):
         return jnp.isfinite(state[-1])
 
-    def body(state):
-        bt, btri, occ = state[0], state[1], state[2]
-        js = state[3:3 + _PAIR_K]
-        inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
-        for j in js:
+    def test_rows(bt, btri, occ, js, erows):
+        for j, entry_row in zip(js, erows):
             top = j < rows          # scalar: which traversal this row feeds
             jc = jnp.where(top, j, j - rows)
             ox = jnp.where(top, cox, sox)
@@ -1753,7 +1786,6 @@ def _pair_tile_sweep(
             dz = jnp.where(top, cdz, sdz)
             mt_bound = jnp.where(top, bt, sh_bound)
             t_cand, slot = _mt_block(tbuf, jc, ox, oy, oz, dx, dy, dz, mt_bound)
-            entry_row = pair_entry[j, :]
             # Closest side: accept strictly-better hits for needing lanes.
             better = top & (entry_row < bt) & (t_cand < bt)
             tri = start_ref[jc] + slot
@@ -1763,9 +1795,34 @@ def _pair_tile_sweep(
             hit_any = (~top) & jnp.isfinite(entry_row) & (occ == 0) \
                 & jnp.isfinite(t_cand)
             occ = jnp.where(hit_any, jnp.int32(1), occ)
-            pair_entry[j, :] = inf_row
-        js_n, key_n = select(bt, occ)
-        return (bt, btri, occ, *js_n, key_n)
+        return bt, btri, occ
+
+    if _PIPE_SEL:
+        # Pipelined selection (see _cluster_sweep): erase the carried rows,
+        # select the NEXT rows against the PRE-test bounds, then test — the
+        # vector->scalar row extraction overlaps the Möller-Trumbore work.
+        # Stale bounds are a superset; accepts stay test-time guarded.
+        def body(state):
+            bt, btri, occ = state[0], state[1], state[2]
+            js = state[3:3 + _PAIR_K]
+            inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
+            erows = [pair_entry[j, :] for j in js]
+            for j in js:
+                pair_entry[j, :] = inf_row
+            js_n, key_n = select(bt, occ)
+            bt, btri, occ = test_rows(bt, btri, occ, js, erows)
+            return (bt, btri, occ, *js_n, key_n)
+    else:
+        def body(state):
+            bt, btri, occ = state[0], state[1], state[2]
+            js = state[3:3 + _PAIR_K]
+            inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
+            erows = [pair_entry[j, :] for j in js]
+            bt, btri, occ = test_rows(bt, btri, occ, js, erows)
+            for j in js:
+                pair_entry[j, :] = inf_row
+            js_n, key_n = select(bt, occ)
+            return (bt, btri, occ, *js_n, key_n)
 
     state = jax.lax.while_loop(
         cond, body, (bound0, btri0, occ0, *js0, key0)

@@ -45,6 +45,35 @@ def test_fused_regen_matches_wavefront(duck_device_scene):
     )
 
 
+def test_fused_regen_pair_sweep(duck_device_scene, monkeypatch):
+    """The pair-sweep prologue (RAYFINDER_PAIR, fused NEE occlusion +
+    first closest sweep) must match the split prologue bit-for-bit, with
+    and without the tile-skip guards / pipelined selection."""
+    import rayfinder_tpu.ops.pallas_regen as pr
+    import rayfinder_tpu.ops.pallas_walk as pw
+
+    w, h, spp, nb = 64, 48, 4, 3
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.3, 2.5, 70.0, w / h)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=nb, spp=spp, num_frames=spp)
+
+    base = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="pallas", **kw,
+    )
+    monkeypatch.setattr(pr, "_PAIR", True)
+    for root_skip in (False, True):
+        monkeypatch.setattr(pw, "_ROOT_SKIP", root_skip)
+        pair = accumulate_samples_regen(
+            duck_device_scene, sky, cam, tile, jnp.int32(0),
+            jnp.zeros((w * h, 3), jnp.float32), engine="pallas", **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pair), np.asarray(base), rtol=0, atol=0
+        )
+
+
 def test_fused_regen_procedural_scene():
     """Textureless triangle-soup scene (1x1 white texel, degenerate-normal
     candidates) through the fused kernel."""
