@@ -1444,6 +1444,19 @@ _ROOT_SKIP = os.environ.get("RAYFINDER_ROOT_SKIP", "0") == "1"
 # (v5e, 2026-08-19, two runs each): Duck 51.04/51.42 Mrays/s vs 49.06/49.94
 # at 0 (+3%); courtyard unchanged (grouped sweeps don't use _cluster_sweep).
 _PIPE_SEL = os.environ.get("RAYFINDER_PIPE_SEL", "1") == "1"
+# Sync-free selection PREFIX in _cluster_sweep: select the P front-to-back
+# nearest rows in one wave — P (min, erase-ties-by-VALUE) vector passes
+# whose P scalar argmin extracts have no serial dependency on each other —
+# then test all P rows unrolled (each Möller-Trumbore stays bound-guarded
+# at test time), then run the normal while loop for whatever remains. A
+# typical compacted-phase Duck tile needs ~7.5 cluster tests but pays a
+# 1-2us vector->scalar sync per while iteration; the prefix replaces the
+# first ceil(P/K) iterations' serial syncs with one overlapped wave, at
+# the price of up to P wasted (fully-guarded) MT blocks on tiles that
+# needed fewer rows. Exact: selection order is unchanged, erase-by-value
+# may skip tied rows in the prefix but they stay in the entry table for
+# the mop-up loop.
+_SWEEP_PREFIX = int(os.environ.get("RAYFINDER_SWEEP_PREFIX", "0"))
 
 
 def _next_rowsk(entry, bt, k: int):
@@ -1524,7 +1537,27 @@ def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
     """
     k = _SWEEP_K
     inf_row_w = bound0.shape[0]
-    js0, key0 = _next_rowsk(cl_entry[:, :], bound0, k)
+    carry, bound = carry0, bound0
+    if _SWEEP_PREFIX > 0:
+        # One selection wave for the P nearest rows (see _SWEEP_PREFIX):
+        # per-row keys once, then P x (argmin extract + erase-by-value).
+        # The erases depend only on the (1,1) min VALUE (vector), so the P
+        # scalar index extracts issue back-to-back and their latencies
+        # overlap each other and the first tests.
+        masked = jnp.where(cl_entry[:, :] < bound[None, :], cl_entry[:, :],
+                           jnp.inf)
+        keyv = jnp.min(masked, axis=1, keepdims=True)  # (rows, 1)
+        js_pre = []
+        for _ in range(_SWEEP_PREFIX):
+            mv = jnp.min(keyv, axis=0, keepdims=True)  # (1, 1) vector
+            js_pre.append(jnp.argmin(keyv, axis=0)[0].astype(jnp.int32))
+            keyv = jnp.where(keyv == mv, jnp.inf, keyv)
+        inf_row = jnp.full((inf_row_w,), jnp.inf, jnp.float32)
+        for j in js_pre:
+            erow = cl_entry[j, :]
+            carry, bound = test_one(j, erow, carry)
+            cl_entry[j, :] = inf_row
+    js0, key0 = _next_rowsk(cl_entry[:, :], bound, k)
 
     def cond(state):
         return jnp.isfinite(state[-1])
@@ -1552,7 +1585,7 @@ def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
             js_n, key_n = _next_rowsk(cl_entry[:, :], bound, k)
             return (carry, bound, *js_n, key_n)
 
-    state = jax.lax.while_loop(cond, body, (carry0, bound0, *js0, key0))
+    state = jax.lax.while_loop(cond, body, (carry, bound, *js0, key0))
     return state[0], state[1]
 
 

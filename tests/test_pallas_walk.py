@@ -212,6 +212,21 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
     np.testing.assert_allclose(tr, tf0, rtol=0, atol=0)
     monkeypatch.setattr(pw, "_ROOT_SKIP", False)
 
+    # Sync-free selection prefix (_SWEEP_PREFIX): P unrolled front-to-back
+    # tests before the while loop; bound-guarded, so results are exact.
+    monkeypatch.setattr(pw, "_SWEEP_PREFIX", 4)
+    ts_, tris_, occs_ = run(duck_device_scene, o, d, "0")
+    np.testing.assert_array_equal(occs_, occf0)
+    np.testing.assert_array_equal(tris_, trif0)
+    np.testing.assert_allclose(ts_, tf0, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "_ROOT_SKIP", True)
+    ts_, tris_, occs_ = run(duck_device_scene, o, d, "0")
+    np.testing.assert_array_equal(occs_, occf0)
+    np.testing.assert_array_equal(tris_, trif0)
+    np.testing.assert_allclose(ts_, tf0, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "_ROOT_SKIP", False)
+    monkeypatch.setattr(pw, "_SWEEP_PREFIX", 0)
+
     # Pipelined super selection (_PIPE_SUPER): stale-bound next-super pick
     # may reorder/over-visit but never changes accepts.
     monkeypatch.setattr(pw, "_PIPE_SUPER", True)
