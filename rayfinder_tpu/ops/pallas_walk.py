@@ -1406,14 +1406,25 @@ def _scene_tables_grouped(scene):
     # Sub-box super planes (K, 3, S): K sub-AABBs of group/K consecutive
     # leaf-order clusters per super; the kernel folds K slab-entry tables
     # with an elementwise min (see _SUBBOX). K == 1 degenerates to the
-    # plain union box. Pad clusters carry FAR planes, so empty sub-boxes
-    # can never pass the slab test.
+    # plain union box.
+    #
+    # Pad clusters are (1e30)^3 POINT boxes (super_pad_clusters): their
+    # cluster-level slab rows correctly never pass, but a plain min/max
+    # union here would blow every padded super's MAX corner out to 1e30 —
+    # turning the super box into a half-open box that contains nearly
+    # every ray origin (entry 0, no far-plane pruning, scrambled
+    # front-to-back order). Exclude pads from the union (+inf/-inf
+    # identities); an all-pad sub-box becomes (+inf, -inf) and can never
+    # pass the slab test.
     k = max(1, min(_SUBBOX, group)) if num_supers > 1 else 1
     while group % k:
         k -= 1
     sub = group // k
-    sub_min = cl_min.reshape(num_supers, k, sub, 3)
-    sub_max = cl_max.reshape(num_supers, k, sub, 3)
+    pad_mask = cl_min[:, 0:1] >= _FAR
+    min_src = jnp.where(pad_mask, jnp.float32(jnp.inf), cl_min)
+    max_src = jnp.where(pad_mask, jnp.float32(-jnp.inf), cl_max)
+    sub_min = min_src.reshape(num_supers, k, sub, 3)
+    sub_max = max_src.reshape(num_supers, k, sub, 3)
     super_min = jnp.min(sub_min, axis=2).transpose(1, 2, 0)  # (K, 3, S)
     super_max = jnp.max(sub_max, axis=2).transpose(1, 2, 0)
     cl_planes = jnp.stack(
@@ -2117,10 +2128,17 @@ def _scene_tables(scene):
         cl_max = jnp.concatenate([cl_max, jnp.full((pad, 3), _FAR)], axis=0)
 
     table = table.reshape(num_supers, SUPER, 9, leaf).transpose(0, 2, 1, 3)
+    # Exclude the FAR pad point-boxes from the super unions (identities
+    # +inf/-inf), else a padded super's max corner blows out to 1e30 and
+    # the super box stops pruning on its far side (see
+    # _scene_tables_grouped). Cluster-level rows keep the FAR planes.
+    pad_mask = cl_min[:, 0:1] >= _FAR
+    min_src = jnp.where(pad_mask, jnp.float32(jnp.inf), cl_min)
+    max_src = jnp.where(pad_mask, jnp.float32(-jnp.inf), cl_max)
     groups_min = cl_min.reshape(num_supers, SUPER, 3)
     groups_max = cl_max.reshape(num_supers, SUPER, 3)
-    super_min = jnp.min(groups_min, axis=1).T  # (3, S)
-    super_max = jnp.max(groups_max, axis=1).T
+    super_min = jnp.min(min_src.reshape(num_supers, SUPER, 3), axis=1).T
+    super_max = jnp.max(max_src.reshape(num_supers, SUPER, 3), axis=1).T
     cl_planes = jnp.stack(
         [groups_min.transpose(0, 2, 1), groups_max.transpose(0, 2, 1)], axis=1
     )  # (S, 2, 3, SUPER)
