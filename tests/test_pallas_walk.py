@@ -241,3 +241,33 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
     np.testing.assert_allclose(tp_, tg, rtol=0, atol=0)
     monkeypatch.setattr(pw, "_MONOSEL", False)
     monkeypatch.setattr(pw, "_PIPE_SUPER", False)
+
+
+def test_super_boxes_exclude_pad_clusters():
+    """Pad clusters are (1e30)^3 point boxes; the super/sub-box unions must
+    exclude them or every padded super's max corner blows out to 1e30 (the
+    box then contains nearly every ray origin: entry 0, no far-plane
+    pruning, scrambled front-to-back order — a measured courtyard perf bug,
+    2026-08-19)."""
+    from rayfinder_tpu.ops import pallas_walk as pw
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+
+    flat, textures = courtyard_scene(8)
+    scene = build_device_scene(flat, textures=textures)
+
+    # Grouped layout (big scenes): every super has pads (subtree runs).
+    _, _, smin, smax, _ = pw._scene_tables_grouped(scene)
+    smax = np.asarray(smax)  # (K, 3, S)
+    smin = np.asarray(smin)
+    real = np.isfinite(smin).all(axis=1) & np.isfinite(smax).all(axis=1)
+    assert real.any()
+    assert np.abs(smax[:, :, real.any(axis=0)]).max() < 1e6, (
+        "super union max corner includes FAR pad boxes"
+    )
+
+    # Flat layout: the last super is padded to a SUPER multiple.
+    _, _, fmin, fmax, _ = pw._scene_tables(scene)
+    fmax = np.asarray(fmax)  # (3, S)
+    fin = np.isfinite(fmax).all(axis=0)
+    assert np.abs(fmax[:, fin]).max() < 1e6
