@@ -400,65 +400,29 @@ class _KeyCodec:
 _PIPE_SUPER = os.environ.get("RAYFINDER_PIPE_SUPER", "0") == "1"
 
 
-def _pack_entry_keys(e, bits: int, k: int = 0, kbits: int = 0):
+def _pack_entry_keys(e, bits: int):
     """(rows, TILE) f32 slab entries (>= 0, or +inf where the slab test
     fails) -> sortable int32 keys, row index in the low `bits` bits.
     Non-negative f32 bit patterns order like the floats, so the int keys
-    order like (quantized entry, row index).
-
-    K-aggregated sweeps (kbits > 0) additionally prefix the RAY index k
-    above the entry bits: key = (k << (31 - kbits)) | (eb >> (bits +
-    kbits) << bits) | row. Ray order then dominates entry order, so a
-    plain min serves each lane's rays strictly in order — the monotone-act
-    semantics of _act_select with NO act bookkeeping at all. The entry is
-    quantized by dropping its low (bits + kbits) bits: order-only
-    perturbation; exactness is unaffected (bound-guarded tests,
-    conservative bound keys)."""
+    order like (quantized entry, row index). K > 1 and f32 layouts live in
+    _KeyCodec."""
     row_io = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
     eb = jax.lax.bitcast_convert_type(e, jnp.int32)
-    if kbits == 0:
-        mask = np.int32((1 << bits) - 1)
-        return jnp.bitwise_or(jnp.bitwise_and(eb, ~mask), row_io)
-    drop = bits + kbits
-    quant = jnp.left_shift(jnp.right_shift(eb, drop), bits)
-    return jnp.bitwise_or(
-        jnp.bitwise_or(np.int32(k << (31 - kbits)), quant), row_io
-    )
+    mask = np.int32((1 << bits) - 1)
+    return jnp.bitwise_or(jnp.bitwise_and(eb, ~mask), row_io)
 
 
-def _bound_keys(bt, bits: int, k: int = 0, kbits: int = 0):
+def _bound_keys(bt, bits: int):
     """Per-lane f32 bound -> packed-key-space exclusive upper bound.
     entry < bt  =>  packed(entry) < bound_key(bt): packed <= entry_bits -
     low + idx <= entry_bits + mask <= (bt_bits - 1) + mask < (bt_bits |
     mask) + 1. A -inf bound (parked/occluded lane) bitcasts negative and
     stays negative, excluding every (non-negative) packed entry. No
     overflow: the largest finite bt gives (0x7F7FFFFF | mask) + 1 =
-    0x7F800000 + mask'.
-
-    kbits > 0 mirrors _pack_entry_keys: bound_key = (k << (31 - kbits)) |
-    (bb >> drop << bits) + 2^bits. eb < bb => eb >> drop <= bb >> drop =>
-    quant(eb) | row <= (bb >> drop << bits) + 2^bits - 1 < bound_key. A
-    negative bb (bound -inf) right-shifts arithmetically and ORs to a
-    negative key, excluding every non-negative packed entry of that ray."""
+    0x7F800000 + mask'."""
     bb = jax.lax.bitcast_convert_type(bt, jnp.int32)
-    if kbits == 0:
-        mask = np.int32((1 << bits) - 1)
-        return jnp.bitwise_or(bb, mask) + jnp.int32(1)
-    drop = bits + kbits
-    quant = jnp.left_shift(jnp.right_shift(bb, drop), bits)
-    return jnp.bitwise_or(np.int32(k << (31 - kbits)), quant) + jnp.int32(
-        1 << bits
-    )
-
-
-def _mono_select(packed, last, bkey):
-    """One selection round: per-lane min packed key strictly above `last`
-    and below the lane's bound key. Returns m (TILE,) int32; _IMAX where
-    the lane has nothing left."""
-    cand = jnp.where(
-        (packed > last[None, :]) & (packed < bkey[None, :]), packed, _IMAX
-    )
-    return jnp.min(cand, axis=0)
+    mask = np.int32((1 << bits) - 1)
+    return jnp.bitwise_or(bb, mask) + jnp.int32(1)
 
 
 def _use_prebuilt(num_supers: int, group: int, tile: int, kr: int) -> bool:
