@@ -1513,7 +1513,11 @@ def _cluster_sweep(tbuf, cl_entry, test_one, bound0, carry0):
     k = _SWEEP_K
     inf_row_w = bound0.shape[0]
     carry, bound = carry0, bound0
-    if _SWEEP_PREFIX > 0:
+    # The prefix targets the sync-bound small-tile compacted phases; at
+    # full-width tiles (1024 lanes) its unrolled live values blow the 16MB
+    # scoped-VMEM stack (measured: 20.93M requested at P=6, TILE=1024),
+    # and those sky-round sweeps rarely test clusters anyway.
+    if _SWEEP_PREFIX > 0 and inf_row_w <= 256:
         # One selection wave for the P nearest rows (see _SWEEP_PREFIX):
         # per-row keys once, then P x (argmin extract + erase-by-value).
         # The erases depend only on the (1,1) min VALUE (vector), so the P
