@@ -328,7 +328,8 @@ class _KeyCodec:
             return _pack_entry_keys(e, self.bits)
         row_io = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
         if self.f32:
-            e = jnp.minimum(e, jnp.float32(1e30))  # inf keys stay finite
+            finite = jnp.isfinite(e)
+            e = jnp.minimum(e, jnp.float32(1e30))  # keys stay finite
         eb = jax.lax.bitcast_convert_type(e, jnp.int32)
         quant = jnp.left_shift(jnp.right_shift(eb, self.drop),
                                self.bits)
@@ -336,12 +337,25 @@ class _KeyCodec:
         if self.kbits:
             key = jnp.bitwise_or(key, np.int32(k << self.kshift))
         if self.f32:
-            return jax.lax.bitcast_convert_type(key + _KEY_BIAS, jnp.float32)
+            # Failed-slab (+inf) entries must be unselectable, not merely
+            # late: clamping them into the key range would put them below
+            # any >=1e30 bound and degenerate the monotone sweep to
+            # testing every row.
+            return jnp.where(
+                finite,
+                jax.lax.bitcast_convert_type(key + _KEY_BIAS, jnp.float32),
+                jnp.float32(jnp.inf),
+            )
         return key
 
     def bound(self, bt, k: int):
         if self.kbits == 0 and not self.f32:
             return _bound_keys(bt, self.bits)
+        # A +inf (or >~2.6e36) bound would overflow key+_KEY_BIAS past
+        # 0x7F800000 into the sign bit in f32 mode (bound bitcasts
+        # negative -> excludes every key). Clamp like pack() does;
+        # -inf (parked) passes through to the bt<0 guard below.
+        bt = jnp.minimum(bt, jnp.float32(1e30))
         bb = jax.lax.bitcast_convert_type(bt, jnp.int32)
         quant = jnp.left_shift(jnp.right_shift(bb, self.drop), self.bits)
         key = quant + jnp.int32(1 << self.bits)
