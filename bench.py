@@ -141,7 +141,10 @@ def main_courtyard() -> None:
     from rayfinder_tpu.sky.model import sky_state_from_ui
 
     w, h, nf, bounces = 512, 512, int(os.environ.get("RAYFINDER_COURT_SAMPLES", "16")), 4
-    flat, textures = courtyard_scene(26)
+    # BASELINE config 4 specifies base-color textures; RAYFINDER_COURT_TEXTURED
+    # governs whether the primary metric includes the texture-gather cost.
+    flat, textures = courtyard_scene(
+        26, textured=os.environ.get("RAYFINDER_COURT_TEXTURED", "0") == "1")
     scene = build_device_scene(flat, textures=textures)
     camera = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, w / h)
     sky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
@@ -152,7 +155,8 @@ def main_courtyard() -> None:
         return accumulate_samples_regen(
             scene, sky, camera, tile, jnp.int32(fb), accum,
             width=w, height=h, num_bounces=bounces, spp=256, num_frames=nf,
-            engine="pallas", count_rays=True)
+            engine=os.environ.get("RAYFINDER_COURT_ENGINE", "pallas"),
+            count_rays=True)
 
     accum = jnp.zeros((w * h, 3), jnp.float32)
     accum, _ = step(0, accum)

@@ -30,7 +30,8 @@ def step(fb, accum):
     return accumulate_samples_regen(
         scene, sky, camera, tile, jnp.int32(fb), accum,
         width=W, height=H, num_bounces=BOUNCES, spp=256, num_frames=NF,
-        engine="pallas", count_rays=True)
+        engine=os.environ.get("RAYFINDER_COURT_ENGINE", "pallas"),
+        count_rays=True)
 
 
 accum = jnp.zeros((W * H, 3), jnp.float32)

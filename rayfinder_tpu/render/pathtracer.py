@@ -136,6 +136,19 @@ def get_engine(engine: str):
 
         return closest, any_hit
 
+    if engine == "clustermajor":
+        from .clustermajor import intersect_any_cm, intersect_closest_cm
+
+        def closest(s, o, d, tm):
+            hit, t, tri, _ = intersect_closest_cm(s, o, d, tm)
+            return hit, t, tri, None
+
+        def any_hit(s, o, d, tm):
+            occ, _ = intersect_any_cm(s, o, d, tm)
+            return occ
+
+        return closest, any_hit
+
     if engine == "reference":
         return intersect_closest, intersect_any
 
