@@ -59,6 +59,15 @@ struct vec2
     vec2(float x_, float y_) : x(x_), y(y_) {}
 };
 
+struct vec4
+{
+    float x = 0.0f, y = 0.0f, z = 0.0f, w = 0.0f;
+    vec4() = default;
+    explicit vec4(float v) : x(v), y(v), z(v), w(v) {}
+    vec4(float x_, float y_, float z_, float w_) : x(x_), y(y_), z(z_), w(w_) {}
+    vec4(const vec3& v, float w_) : x(v.x), y(v.y), z(v.z), w(w_) {}
+};
+
 struct ivec3
 {
     int x = 0, y = 0, z = 0;

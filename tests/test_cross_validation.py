@@ -181,3 +181,65 @@ def test_bvh_and_traversal_match_reference_cpp(bvh_dump, tmp_path):
     diff = np.abs(np.asarray(visited).astype(np.int64) - ref_visited.astype(np.int64))
     assert (diff == 0).mean() >= 0.99
     assert diff.max() <= 8
+
+
+@pytest.fixture(scope="module")
+def pt_roundtrip(tmp_path_factory):
+    """Compile the REFERENCE's PTFORMAT3 serializer
+    (/root/reference/src/pt-format/pt_format.cpp:153-321) into a
+    deserialize->reserialize harness. -ffunction-sections/--gc-sections drop
+    the PtFormat(gltfPath) constructor (and its gltf/BVH build stack) since
+    the harness never calls it; -include cstdint papers over
+    vertex_attributes.hpp's missing <cstdint>."""
+    out = tmp_path_factory.mktemp("xval") / "pt_roundtrip"
+    subprocess.run(
+        [
+            "g++", "-O2", "-std=c++20",
+            "-ffunction-sections", "-fdata-sections",
+            "-include", "cstdint",
+            "-I", str(HARNESS / "glm_shim"),
+            "-I", str(HARNESS / "fmt_shim"),
+            "-I", str(REFERENCE_SRC),
+            str(HARNESS / "pt_roundtrip.cpp"),
+            str(REFERENCE_SRC / "pt-format" / "pt_format.cpp"),
+            "-Wl,--gc-sections",
+            "-o", str(out),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
+def _assert_pt_bytes_interop(binary, scene, path):
+    from rayfinder_tpu.io import write_pt
+
+    write_pt(scene, path)
+    ours = path.read_bytes()
+    result = subprocess.run([str(binary), str(path)], check=True, capture_output=True)
+    assert result.stdout == ours, (
+        "reference deserialize->serialize changed the bytes: layout mismatch "
+        f"(ours {len(ours)}B, reference {len(result.stdout)}B)"
+    )
+
+
+def test_pt_bytes_interop_duck(pt_roundtrip, tmp_path):
+    """Byte-level PTFORMAT3 interop: the reference's own deserialize() accepts
+    our writer's file (its NLRS_ASSERTs abort on any structural mismatch) and
+    its serialize() reproduces the bytes exactly."""
+    from rayfinder_tpu.io import PtScene
+
+    scene = PtScene.from_gltf("/root/reference/assets/Duck.glb")
+    _assert_pt_bytes_interop(pt_roundtrip, scene, tmp_path / "duck.pt")
+
+
+def test_pt_bytes_interop_multimesh(pt_roundtrip, tmp_path):
+    """Same interop over the 10-mesh/8-texture generated GLB (multiple model
+    slices, texture table, dedup paths)."""
+    from rayfinder_tpu.io import PtScene
+    from rayfinder_tpu.tools.make_test_glb import build_test_glb
+
+    glb = tmp_path / "scene.glb"
+    build_test_glb(glb)
+    scene = PtScene.from_gltf(glb)
+    _assert_pt_bytes_interop(pt_roundtrip, scene, tmp_path / "scene.pt")
