@@ -1444,8 +1444,11 @@ _PIPE_SEL = os.environ.get("RAYFINDER_PIPE_SEL", "1") == "1"
 # the price of up to P wasted (fully-guarded) MT blocks on tiles that
 # needed fewer rows. Exact: selection order is unchanged, erase-by-value
 # may skip tied rows in the prefix but they stay in the entry table for
-# the mop-up loop.
-_SWEEP_PREFIX = int(os.environ.get("RAYFINDER_SWEEP_PREFIX", "0"))
+# the mop-up loop. TPU A/B (v5e, 2026-08-20, Duck, base 53.24 Mrays/s):
+# P=2 57.36/57.04/57.86 (+7.6%, default), P=3 56.51, P=1 56.23,
+# P=4 54.80/55.02, P=8 48.92; courtyard P=2 3.502 vs 3.495 (neutral —
+# grouped sweeps don't use _cluster_sweep, only the tail phases do).
+_SWEEP_PREFIX = int(os.environ.get("RAYFINDER_SWEEP_PREFIX", "2"))
 
 
 def _next_rowsk(entry, bt, k: int):
