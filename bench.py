@@ -141,10 +141,11 @@ def main_courtyard() -> None:
     from rayfinder_tpu.sky.model import sky_state_from_ui
 
     w, h, nf, bounces = 512, 512, int(os.environ.get("RAYFINDER_COURT_SAMPLES", "16")), 4
-    # BASELINE config 4 specifies base-color textures; RAYFINDER_COURT_TEXTURED
-    # governs whether the primary metric includes the texture-gather cost.
+    # BASELINE config 4 specifies base-color textures, so the primary metric
+    # includes the texture-gather cost by default (TPU A/B 2026-08-20:
+    # textured 3.436/3.436 vs 3.495 untextured, -1.7%).
     flat, textures = courtyard_scene(
-        26, textured=os.environ.get("RAYFINDER_COURT_TEXTURED", "0") == "1")
+        26, textured=os.environ.get("RAYFINDER_COURT_TEXTURED", "1") == "1")
     scene = build_device_scene(flat, textures=textures)
     camera = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, w / h)
     sky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
