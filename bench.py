@@ -96,17 +96,14 @@ def main() -> None:
 
     # Print the measurement FIRST: everything after this line is diagnostic,
     # and a post-measurement worker fault must not discard a good number.
-    print(
-        json.dumps(
-            {
-                "metric": "duck_800x600_4bounce_path_trace",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s/chip",
-                "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-            }
-        ),
-        flush=True,
-    )
+    line = {
+        "metric": "duck_800x600_4bounce_path_trace",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+    }
+    _quality_gate(line, accum, 2 * TIMED_SAMPLES, WIDTH, HEIGHT, "duck")
+    print(json.dumps(line), flush=True)
 
     # Diagnostic only (stderr): measured counts vs the old geometric-series
     # model from the primary hit rate, for the record.
@@ -173,21 +170,49 @@ def main_courtyard() -> None:
     # Extrapolated wall time for the showcase target: 1080p at 1024 spp is
     # (1920*1080*1024)/(512*512*nf) times the timed window's sample work.
     t1024 = dt * (1920 * 1080 * 1024) / (w * h * nf)
-    print(
-        json.dumps(
-            {
-                "metric": "courtyard_512x512_4bounce_path_trace",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s/chip",
-                "time_to_1024spp_1080p_s": round(t1024, 1),
-            }
-        ),
-        flush=True,
-    )
+    line = {
+        "metric": "courtyard_512x512_4bounce_path_trace",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "time_to_1024spp_1080p_s": round(t1024, 1),
+    }
+    if os.environ.get("RAYFINDER_COURT_TEXTURED", "1") == "1" and nf == 16:
+        _quality_gate(line, accum, 2 * nf, w, h, "courtyard")
+    print(json.dumps(line), flush=True)
     print(
         f"courtyard rays={total} (closest={closest} shadow={shadow}) dt={dt:.3f}s",
         file=sys.stderr,
     )
+
+
+_QUALITY_RMSE_BUDGET = 1e-3  # BASELINE north star: RMSE < 1e-3 at scale
+
+
+def _quality_gate(line: dict, accum, total_spp: int, w: int, h: int, name: str) -> None:
+    """RMSE-gate the bench accumulation against the committed wavefront-engine
+    golden at the same resolution/sample sequence (tools/make_quality_goldens.py).
+    Adds quality_rmse/quality_ok to the JSON line; never costs the measurement."""
+    try:
+        import jax.numpy as jnp
+
+        from rayfinder_tpu.render.tonemap import tonemap
+
+        golden_path = (
+            pathlib.Path(__file__).parent / "tests" / "goldens"
+            / f"quality_{name}_{w}x{h}_{total_spp}spp.npz"
+        )
+        if not golden_path.exists():
+            return
+        golden = np.load(golden_path)["image"].astype(np.float32)
+        img = np.asarray(
+            tonemap(accum / jnp.float32(total_spp), jnp.float32(1.0)),
+            np.float32,
+        ).reshape(h, w, 3)
+        rmse = float(np.sqrt(np.mean((img - golden) ** 2)))
+        line["quality_rmse"] = round(rmse, 7)
+        line["quality_ok"] = bool(rmse < _QUALITY_RMSE_BUDGET)
+    except Exception as e:  # the gate must never cost the measurement
+        print(f"bench: quality gate failed to run: {e!r}", file=sys.stderr)
 
 
 def _primary_hit_rate(scene, camera) -> float:
@@ -359,6 +384,12 @@ def _parent() -> None:
     duck["time_to_1024spp_1080p_s"] = (
         float(court.get("time_to_1024spp_1080p_s", 0.0)) if court else 0.0
     )
+    # Quality gate (tools/make_quality_goldens.py): worst RMSE across the two
+    # children's full-scale renders vs the wavefront-engine goldens.
+    rmses = [c["quality_rmse"] for c in (duck, court) if c and "quality_rmse" in c]
+    if rmses:
+        duck["quality_rmse"] = max(rmses)
+        duck["quality_ok"] = bool(max(rmses) < _QUALITY_RMSE_BUDGET)
     print(json.dumps(duck))
 
 

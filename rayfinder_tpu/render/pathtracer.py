@@ -114,7 +114,11 @@ def get_engine(engine: str):
     closest(scene, o, d, t_max) -> (hit, t, tri_idx, extra);
     any_hit(scene, o, d, t_max) -> occluded.
     """
-    if engine == "pallas":
+    if engine in ("pallas", "pallas_split"):
+        # "pallas_split" = identical kernels through the UNFUSED regen loop
+        # (accumulate_lanes_regen's callback path instead of the persistent
+        # fused kernel) — the A/B baseline for engines that need the split
+        # loop (pairs traversal).
         from ..ops.pallas_walk import pallas_intersect_any, pallas_intersect_closest
 
         def closest(s, o, d, tm):
@@ -148,6 +152,16 @@ def get_engine(engine: str):
             return occ
 
         return closest, any_hit
+
+    if engine == "pairs":
+        from ..ops.pallas_pairs import pairs_intersect_closest
+        from ..ops.pallas_walk import pallas_intersect_any
+
+        def closest(s, o, d, tm):
+            hit, t, tri, _ = pairs_intersect_closest(s, o, d, tm)
+            return hit, t, tri, None
+
+        return closest, pallas_intersect_any
 
     if engine == "reference":
         return intersect_closest, intersect_any
