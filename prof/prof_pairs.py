@@ -54,9 +54,9 @@ for tag in TAGS:
         return run
 
     timed("pallas", chain(
-        lambda o_, d_: pallas_intersect_closest(scene, o_, d_, jnp.float32(1e4))[1]))
+        lambda o_, d_: pallas_intersect_closest(scene, o_, d_, jnp.float32(1e4))[1]), o, d)
     timed("cull", chain(
-        lambda o_, d_: _cull_topw(scene, o_, d_, tm, PAIRS_W + 1)[:, 0].astype(jnp.float32)))
+        lambda o_, d_: _cull_topw(scene, o_, d_, tm, PAIRS_W + 1)[:, 0].astype(jnp.float32)), o, d)
 
     def cullsort(o_, d_):
         keys = _cull_topw(scene, o_, d_, tm, PAIRS_W + 1)
@@ -68,7 +68,7 @@ for tag in TAGS:
              jax.lax.bitcast_convert_type(keys, jnp.float32)], axis=1)[perm]
         return packed
 
-    timed("cull+sort", chain(lambda o_, d_: cullsort(o_, d_)[:, 0]))
+    timed("cull+sort", chain(lambda o_, d_: cullsort(o_, d_)[:, 0]), o, d)
 
     def cullsortvisit(o_, d_):
         packed = cullsort(o_, d_)
@@ -77,7 +77,7 @@ for tag in TAGS:
                             packed[:, 6], keys_s, PAIRS_W)
         return t_s
 
-    timed("+visit", chain(cullsortvisit))
+    timed("+visit", chain(cullsortvisit), o, d)
 
     @jax.jit
     def full(o_, d_):

@@ -22,18 +22,42 @@ from rayfinder_tpu.sky.model import sky_state_from_ui
 from rayfinder_tpu.utils.image import write_png
 
 CONFIGS = {
-    "1080p32": (1920, 1080, 32, "courtyard_1080p_32spp.png", False),
-    "1080p8": (1920, 1080, 8, "courtyard_1080p_8spp.png", False),
-    "720p16": (1280, 720, 16, "courtyard_720p_16spp.png", False),
-    "tex720p16": (1280, 720, 16, "courtyard_textured_720p_16spp.png", True),
+    "1080p32": (1920, 1080, 32, "courtyard_1080p_32spp.png", False, False),
+    "1080p8": (1920, 1080, 8, "courtyard_1080p_8spp.png", False, False),
+    "720p16": (1280, 720, 16, "courtyard_720p_16spp.png", False, False),
+    "tex720p16": (1280, 720, 16, "courtyard_textured_720p_16spp.png", True, False),
+    # The PRODUCTION ASSET PATH at benchmark scale: courtyard -> GLB ->
+    # gltf loader -> .pt file -> device scene (the reference's
+    # pt-format-tool -> pt flow) -> render.
+    "pt720p16": (1280, 720, 16, "courtyard_pt_720p_16spp.png", True, True),
+    "pt1080p32": (1920, 1080, 32, "courtyard_pt_1080p_32spp.png", True, True),
 }
 
 which = sys.argv[1] if len(sys.argv) > 1 else "1080p32"
-w, h, spp, name, textured = CONFIGS[which]
+w, h, spp, name, textured, via_pt = CONFIGS[which]
 
-flat, textures = courtyard_scene(26, textured=textured)
-print("tris:", flat.positions.shape[0])
-scene = build_device_scene(flat, textures=textures)
+if via_pt:
+    import tempfile
+
+    from rayfinder_tpu.io import PtScene, read_pt, write_pt
+    from rayfinder_tpu.tools.export_glb import export_flattened_glb
+
+    flat, textures = courtyard_scene(26, textured=textured)
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    glb, pt = tmp / "courtyard.glb", tmp / "courtyard.pt"
+    t0 = time.time()
+    export_flattened_glb(flat, textures, glb)
+    print(f"exported {glb} ({glb.stat().st_size/1e6:.1f} MB) in {time.time()-t0:.0f}s")
+    t0 = time.time()
+    write_pt(PtScene.from_gltf(glb), pt)
+    print(f"packed {pt} ({pt.stat().st_size/1e6:.1f} MB) in {time.time()-t0:.0f}s "
+          "(gltf load + BVH build + serialize)")
+    scene = read_pt(pt).to_device_scene()
+    print("tris:", scene.num_triangles)
+else:
+    flat, textures = courtyard_scene(26, textured=textured)
+    print("tris:", flat.positions.shape[0])
+    scene = build_device_scene(flat, textures=textures)
 camera = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, w / h)
 sky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
 
