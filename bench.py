@@ -183,6 +183,67 @@ def main_courtyard() -> None:
         f"courtyard rays={total} (closest={closest} shadow={shadow}) dt={dt:.3f}s",
         file=sys.stderr,
     )
+    if os.environ.get("RAYFINDER_BENCH_EFF", "1") == "1":
+        _courtyard_efficiency(scene, camera, w, h)
+
+
+def _courtyard_efficiency(scene, camera, w, h) -> None:
+    """Traversal-efficiency diagnostic (VERDICT r3 #7): issued MT tests vs
+    the per-ray front-to-back NEED on the bench camera's primary rays, via
+    the counted grouped-sweep kernel (prof/diag_iters.py). Runs AFTER the
+    measurement JSON is printed — a fault here never costs the number."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() != "tpu":
+            return  # interpret-mode counted kernels are impractically slow
+
+        sys.path.insert(0, str(pathlib.Path(__file__).parent / "prof"))
+        from diag_iters import counted_closest
+
+        from rayfinder_tpu.render.camera import generate_camera_ray
+        from rayfinder_tpu.render.wavefront import _slab_entry
+
+        js, is_ = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+        u = (js.reshape(-1) + 0.5).astype(np.float32) / w
+        v = 1.0 - (is_.reshape(-1) + 0.5).astype(np.float32) / h
+        o, d = generate_camera_ray(camera, jnp.asarray(u), jnp.asarray(v))
+        hit, t, tri, sv, it = counted_closest(scene, o, d, jnp.float32(1e4))
+        tile = 128
+        leaf = scene.cluster_tris.shape[1]
+        nrays = o.shape[0]
+        issued = int(np.asarray(it, np.int64).sum()) * tile * leaf
+
+        # Per-ray NEED: clusters whose entry precedes the true hit (what a
+        # per-ray front-to-back walk must test), dense slab in chunks.
+        @jax.jit
+        def need_chunk(o_c, d_c, t_c):
+            inv = jnp.float32(1.0) / d_c
+            hit_c, entry = _slab_entry(
+                o_c[:, None, :], inv[:, None, :], (inv < 0.0)[:, None, :],
+                scene.cluster_min[None], scene.cluster_max[None],
+                t_c[:, None],
+            )
+            return jnp.sum((hit_c & (entry < t_c[:, None])).astype(jnp.int32))
+
+        t_true = jnp.where(hit, t, jnp.float32(1e4))
+        needed_clusters = 0
+        for s in range(0, nrays, 16384):
+            needed_clusters += int(need_chunk(
+                o[s:s + 16384], d[s:s + 16384], t_true[s:s + 16384]))
+        needed = needed_clusters * leaf
+        waste = 100.0 * (1.0 - needed / max(issued, 1))
+        print(
+            f"efficiency(primary rays): issued_mt_tests={issued} "
+            f"({issued / nrays:.0f}/ray) needed={needed} "
+            f"({needed / nrays:.0f}/ray) wasted={waste:.1f}% "
+            f"supers/tile={float(np.asarray(sv).mean()):.1f} "
+            f"inner_iters/tile={float(np.asarray(it).mean()):.1f}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # diagnostic only
+        print(f"bench: efficiency diagnostic failed: {e!r}", file=sys.stderr)
 
 
 _QUALITY_RMSE_BUDGET = 1e-3  # BASELINE north star: RMSE < 1e-3 at scale
