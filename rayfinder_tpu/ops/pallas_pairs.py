@@ -89,14 +89,22 @@ def _pad_planes(scene):
     return cmin.T, cmax.T, num_clusters, c_pad
 
 
+_REDCH = 512  # rows per reduce/erase chunk (bounds live registers at 64)
+
+
 def _make_cull_kernel(c_pad: int, rt: int, w_plus1: int, tile: int):
     def kernel(o_ref, d_ref, tm_ref, mins_ref, maxs_ref, keys_out, keytab):
-        for r in range(rt):
-            (ox, oy, oz), (dx, dy, dz), (ix, iy, iz), tmax = _ray_regs(
-                o_ref, d_ref, tm_ref, r)
+        def tile_body(r, carry):
+            ox, oy, oz = o_ref[r, 0, :], o_ref[r, 1, :], o_ref[r, 2, :]
+            dx, dy, dz = d_ref[r, 0, :], d_ref[r, 1, :], d_ref[r, 2, :]
+            tmax = tm_ref[r, 0, :]
+            ix = jnp.float32(1.0) / dx
+            iy = jnp.float32(1.0) / dy
+            iz = jnp.float32(1.0) / dz
             # Slab + pack all clusters into the VMEM key table, sub-chunked
-            # so Mosaic never holds more than 8 live entry registers
-            # (fused build+reduce once OOMed scoped VMEM, CLAUDE.md).
+            # so Mosaic never holds more than 8 live entry registers at a
+            # time (a fused full-table build+reduce spills catastrophically:
+            # 171MB of register spill slots measured at rt=32).
             for a in range(0, c_pad, _SUBCH):
                 e = _slab_entry_rows(
                     mins_ref[:, a:a + _SUBCH], maxs_ref[:, a:a + _SUBCH],
@@ -109,13 +117,22 @@ def _make_cull_kernel(c_pad: int, rt: int, w_plus1: int, tile: int):
                 key = jnp.where(finite, (bits & _ENTRY_MASK) | cid,
                                 _MISS_BASE | cid)
                 keytab[a:a + _SUBCH, :] = key
-            # Per-lane W+1 nearest: min + erase-by-key (keys are unique).
+            # Per-lane W+1 nearest: chunked min + erase-by-key (keys are
+            # unique), reads/writes staying within _REDCH-row register
+            # windows.
             for k in range(w_plus1):
-                m = keytab[:, :].min(axis=0)  # (TILE,)
+                m = jnp.full((tile,), _MAX_KEY, jnp.int32)
+                for a in range(0, c_pad, _REDCH):
+                    m = jnp.minimum(m, keytab[a:a + _REDCH, :].min(axis=0))
                 keys_out[r, k, :] = m
                 if k + 1 < w_plus1:
-                    keytab[:, :] = jnp.where(
-                        keytab[:, :] == m[None, :], _MAX_KEY, keytab[:, :])
+                    for a in range(0, c_pad, _REDCH):
+                        blk = keytab[a:a + _REDCH, :]
+                        keytab[a:a + _REDCH, :] = jnp.where(
+                            blk == m[None, :], _MAX_KEY, blk)
+            return carry
+
+        jax.lax.fori_loop(0, rt, tile_body, jnp.int32(0))
 
     return kernel
 
@@ -182,6 +199,181 @@ def _mt_cluster(buf, ox, oy, oz, dx, dy, dz, t_bound):
     )
     t_masked = jnp.where(ok, t, jnp.inf)
     return jnp.min(t_masked, axis=1), jnp.argmin(t_masked, axis=1).astype(jnp.int32)
+
+
+def _mt_cluster_any(buf, ox, oy, oz, dx, dy, dz, t_bound):
+    """Any-accept variant of _mt_cluster: per-ray bool over the L tris."""
+    v = [buf[r, :][None, :] for r in range(9)]
+    v0x, v0y, v0z = v[0], v[1], v[2]
+    e1x, e1y, e1z = v[3] - v0x, v[4] - v0y, v[5] - v0z
+    e2x, e2y, e2z = v[6] - v0x, v[7] - v0y, v[8] - v0z
+
+    dxc, dyc, dzc = dx[:, None], dy[:, None], dz[:, None]
+    hx = dyc * e2z - dzc * e2y
+    hy = dzc * e2x - dxc * e2z
+    hz = dxc * e2y - dyc * e2x
+    det = e1x * hx + e1y * hy + e1z * hz
+    inv_det = jnp.float32(1.0) / det
+
+    sx = ox[:, None] - v0x
+    sy = oy[:, None] - v0y
+    sz = oz[:, None] - v0z
+    u = inv_det * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    vv = inv_det * (dxc * qx + dyc * qy + dzc * qz)
+    t = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+
+    ok = (
+        (jnp.abs(det) >= EPSILON)
+        & (u >= 0.0) & (u <= 1.0)
+        & (vv >= 0.0) & (u + vv <= 1.0)
+        & (t > EPSILON) & (t < t_bound[:, None])
+    )
+    return jnp.any(ok, axis=1)
+
+
+def _make_visit_any_kernel(leaf: int, rt: int, w: int, tile: int):
+    """Occlusion visit loop: like the closest kernel, but a lane drops out
+    (bound -> -inf, erasing all its pairs from selection) at its first
+    accepted intersection; output is the occlusion mask."""
+    def kernel(o_ref, d_ref, tm_ref, keys_ref, start_ref, table_hbm,
+               occ_out, buf, sem):
+        del start_ref
+        for r in range(rt):
+            (ox, oy, oz), (dx, dy, dz), _, tmax = _ray_regs(
+                o_ref, d_ref, tm_ref, r)
+            keys0 = [keys_ref[r, k, :] for k in range(w)]
+
+            def active_min(keys, bt):
+                ak = None
+                for k in keys:
+                    a = jnp.where(_key_entry(k) < bt, k, _MAX_KEY)
+                    ak = a if ak is None else jnp.minimum(ak, a)
+                return jnp.min(ak)
+
+            def cond(st):
+                return st[0] != _MAX_KEY
+
+            def body(st):
+                mkey, bt, occ = st[0], st[1], st[2]
+                keys = list(st[3:])
+                cid = mkey & _CID_MASK
+                dma = pltpu.make_async_copy(table_hbm.at[cid], buf, sem)
+                dma.start()
+                keys = [
+                    jnp.where((k & _CID_MASK) == cid, _MAX_KEY, k)
+                    for k in keys
+                ]
+                dma.wait()
+                hit = _mt_cluster_any(buf, ox, oy, oz, dx, dy, dz, bt)
+                occ = occ | hit.astype(jnp.int32)
+                bt = jnp.where(hit, jnp.float32(-jnp.inf), bt)
+                return (active_min(keys, bt), bt, occ, *keys)
+
+            occ0 = jnp.zeros((tile,), jnp.int32)
+            st = jax.lax.while_loop(
+                cond, body, (active_min(keys0, tmax), tmax, occ0, *keys0))
+            occ_out[r, 0, :] = st[2]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("w",))
+def pairs_intersect_any(scene, origin, direction, t_max, *, w: int = PAIRS_W):
+    """Any-hit (occlusion) query via sorted pair traversal. Returns
+    (occluded, tail_count). Exact: a lane is proven CLEAR iff its
+    (W+1)-th quantized entry is not below t_max (every untested cluster
+    enters later than the query range); unresolved lanes re-check through
+    the production any-hit sweep."""
+    from .pallas_walk import pallas_intersect_any
+
+    num_rays = origin.shape[0]
+    num_clusters, leaf = scene.cluster_tris.shape[:2]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (num_rays,))
+
+    keys = _cull_topw(scene, origin, direction, t_max, w + 1)
+    sort_key = (keys[:, 0] & _CID_MASK) * jnp.int32(1 << _CID_BITS) + (
+        keys[:, 1] & _CID_MASK)
+    perm = jnp.argsort(sort_key).astype(jnp.int32)
+    packed = jnp.concatenate(
+        [
+            origin, direction, t_max[:, None],
+            jax.lax.bitcast_convert_type(keys, jnp.float32),
+        ],
+        axis=1,
+    )[perm]
+    o_s, d_s, tm_s = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+    keys_s = jax.lax.bitcast_convert_type(packed[:, 7:], jnp.int32)
+
+    tile, rt = _pick_tile(num_clusters)
+    o_p, d_p, tm_p, tiles, n = _prep_rays(o_s, d_s, tm_s, tile, rt)
+    pad = tiles * tile - keys_s.shape[0]
+    kw_s = keys_s[:, :w]
+    if pad:
+        kw_s = jnp.concatenate(
+            [kw_s, jnp.full((pad, w), _MAX_KEY, jnp.int32)], axis=0)
+    kw_s = kw_s.reshape(tiles, tile, w).transpose(0, 2, 1)
+    table = jnp.concatenate(
+        [
+            scene.cluster_tris.reshape(num_clusters, leaf, 9).transpose(0, 2, 1),
+            jnp.zeros((num_clusters, 7, leaf), jnp.float32),
+        ],
+        axis=1,
+    )
+    (occ_out,) = pl.pallas_call(
+        _make_visit_any_kernel(leaf, rt, w, tile),
+        grid=(tiles // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, w, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((rt, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, tile), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((16, leaf), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(o_p, d_p, tm_p, kw_s, scene.cluster_start, table)
+    occ_s = occ_out.reshape(-1)[:n] > 0
+
+    unres_s = ~occ_s & (_key_entry(keys_s[:, w]) < tm_s)
+    back = jnp.stack(
+        [occ_s.astype(jnp.float32), unres_s.astype(jnp.float32)], axis=1)
+    out = jnp.zeros((num_rays, 2), jnp.float32).at[perm].set(back)
+    occluded = out[:, 0] > 0.0
+    unresolved = out[:, 1] > 0.0
+    tail_count = jnp.sum(unresolved.astype(jnp.int32))
+
+    chunk = max(1024, min(num_rays, -(-num_rays // 8 // 1024) * 1024))
+
+    def cond(st):
+        return jnp.any(st[0])
+
+    def body(st):
+        unresolved, occluded = st
+        idx = jnp.nonzero(unresolved, size=chunk, fill_value=num_rays)[0]
+        idx = idx.astype(jnp.int32)
+        valid = idx < num_rays
+        safe = jnp.minimum(idx, num_rays - 1)
+        occ2 = pallas_intersect_any(
+            scene, origin[safe], direction[safe], t_max[safe])
+        occluded = occluded.at[idx].set(
+            jnp.where(valid, occ2 | occluded[safe], occluded[safe]),
+            mode="drop")
+        unresolved = unresolved.at[idx].set(False, mode="drop")
+        return unresolved, occluded
+
+    _, occluded = jax.lax.while_loop(cond, body, (unresolved, occluded))
+    return occluded, tail_count
 
 
 def _make_visit_kernel(leaf: int, rt: int, w: int, tile: int):

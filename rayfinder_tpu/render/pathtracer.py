@@ -154,14 +154,18 @@ def get_engine(engine: str):
         return closest, any_hit
 
     if engine == "pairs":
-        from ..ops.pallas_pairs import pairs_intersect_closest
-        from ..ops.pallas_walk import pallas_intersect_any
+        from ..ops.pallas_pairs import (pairs_intersect_any,
+                                        pairs_intersect_closest)
 
         def closest(s, o, d, tm):
             hit, t, tri, _ = pairs_intersect_closest(s, o, d, tm)
             return hit, t, tri, None
 
-        return closest, pallas_intersect_any
+        def any_hit(s, o, d, tm):
+            occ, _ = pairs_intersect_any(s, o, d, tm)
+            return occ
+
+        return closest, any_hit
 
     if engine == "reference":
         return intersect_closest, intersect_any

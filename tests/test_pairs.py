@@ -103,3 +103,43 @@ def test_radiance_matches_wavefront_engine(duck_device_scene):
     a = trace_radiance(scene, sky, o, d, noise, 2, engine="wavefront")
     b = trace_radiance(scene, sky, o, d, noise, 2, engine="pairs")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_any_hit_agrees(courtyard_device_scene, rng):
+    from rayfinder_tpu.ops.pallas_pairs import pairs_intersect_any
+    from rayfinder_tpu.render.traverse import intersect_any
+
+    o, d = _interior_rays(rng, 2048)
+    t_max = jnp.float32(1e4)
+    ref = intersect_any(courtyard_device_scene, o, d, t_max)
+    pw, tail = pairs_intersect_any(courtyard_device_scene, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(pw), np.asarray(ref))
+
+
+def test_any_hit_w1_tail(courtyard_device_scene, rng):
+    """w=1 forces tail traffic through the production any-hit sweep."""
+    from rayfinder_tpu.ops.pallas_pairs import pairs_intersect_any
+    from rayfinder_tpu.render.traverse import intersect_any
+
+    o, d = _interior_rays(rng, 512)
+    t_max = jnp.float32(1e4)
+    ref = intersect_any(courtyard_device_scene, o, d, t_max)
+    pw, tail = pairs_intersect_any(courtyard_device_scene, o, d, t_max, w=1)
+    assert int(tail) > 0
+    np.testing.assert_array_equal(np.asarray(pw), np.asarray(ref))
+
+
+def test_any_hit_duck(duck_device_scene, rng):
+    from rayfinder_tpu.ops.pallas_pairs import pairs_intersect_any
+    from rayfinder_tpu.render.traverse import intersect_any
+
+    scene = duck_device_scene
+    lo = np.asarray(scene.bvh_aabb_min[0])
+    hi = np.asarray(scene.bvh_aabb_max[0])
+    o = rng.uniform(lo - 0.5, hi + 0.5, size=(512, 3)).astype(np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ref = intersect_any(scene, jnp.asarray(o), jnp.asarray(d), jnp.float32(1e4))
+    pw, _ = pairs_intersect_any(scene, jnp.asarray(o), jnp.asarray(d),
+                                jnp.float32(1e4))
+    np.testing.assert_array_equal(np.asarray(pw), np.asarray(ref))
