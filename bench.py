@@ -266,7 +266,7 @@ def _quality_gate(line: dict, accum, total_spp: int, w: int, h: int, name: str) 
             return
         golden = np.load(golden_path)["image"].astype(np.float32)
         img = np.asarray(
-            tonemap(accum / jnp.float32(total_spp), jnp.float32(1.0)),
+            tonemap(accum / jnp.float32(total_spp), jnp.float32(0.25)),
             np.float32,
         ).reshape(h, w, 3)
         rmse = float(np.sqrt(np.mean((img - golden) ** 2)))

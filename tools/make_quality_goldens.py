@@ -34,7 +34,7 @@ GOLDEN_DIR = pathlib.Path(__file__).resolve().parents[1] / "tests" / "goldens"
 
 
 def quality_image(scene, sky, camera, *, width, height, num_frames, engine,
-                  num_bounces=4, exposure=1.0):
+                  num_bounces=4, exposure=0.25):
     """The bench children's exact accumulation (two num_frames steps), as a
     tonemapped mean image — shared by golden generation and the bench gate."""
     from rayfinder_tpu.render.pathtracer import accumulate_samples_regen
