@@ -174,3 +174,56 @@ def k_regtop4(mins_ref, maxs_ref, rays_ref, out_ref, keytab):
 
 run("build+exother", k_build_exother, kt + [pltpu.VMEM((C, TILE), jnp.int32)])
 run("regtop4", k_regtop4, kt)
+
+
+def k_build_dmacopy(mins_ref, maxs_ref, rays_ref, out_ref, keytab, keytab2,
+                    sem):
+    # p8: build -> VMEM->VMEM DMA copy -> extract from the copy. The DMA
+    # engine's dependency machinery replaces the vector-scheduler hazard
+    # that serializes the build loop when its stores are later vector-read.
+    build(mins_ref, maxs_ref, rays_ref, keytab)
+    dma = pltpu.make_async_copy(keytab, keytab2, sem)
+    dma.start()
+    dma.wait()
+    extract(keytab2, out_ref)
+
+
+def k_build_alternate(mins_ref, maxs_ref, rays_ref, out_ref, keytab, keytab2):
+    # p4: two tiles pipelined across two tables — extract tile 0's table
+    # while building tile 1's. Reports cost for TWO tiles.
+    build(mins_ref, maxs_ref, rays_ref, keytab)
+    build(mins_ref, maxs_ref, rays_ref, keytab2)   # "tile 1" build
+    extract(keytab, out_ref)                        # "tile 0" extract
+    extract(keytab2, out_ref)                       # "tile 1" extract
+
+
+run("build+dmacopy", k_build_dmacopy,
+    kt + [pltpu.VMEM((C, TILE), jnp.int32), pltpu.SemaphoreType.DMA(())])
+run("2x build+alt", k_build_alternate, kt + [pltpu.VMEM((C, TILE), jnp.int32)])
+
+
+def k_subchunk_top4(mins_ref, maxs_ref, rays_ref, out_ref, keytab):
+    # p11: per-64-row-subchunk top-4 + 5th-min residual, written straight
+    # to VMEM (never read back in-kernel; no cross-subchunk carries).
+    ox, oy, oz, dx, dy, dz, ix, iy, iz = regs(rays_ref)
+    tmax = jnp.full((TILE,), 1e4, jnp.float32)
+    for a in range(0, C, _SUBCH):
+        e = _slab_entry_rows(mins_ref[:, a:a + _SUBCH],
+                             maxs_ref[:, a:a + _SUBCH],
+                             ox, oy, oz, ix, iy, iz, tmax)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (_SUBCH, TILE), 0) + jnp.int32(a)
+        finite = e < _ENTRY_CLAMP
+        bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(e, jnp.float32(0.0)), jnp.int32)
+        key = jnp.where(finite, (bits & _ENTRY_MASK) | cid, _MISS_BASE | cid)
+        s = a // _SUBCH
+        for kk in range(5):
+            m = key.min(axis=0)
+            keytab[s * 5 + kk, :] = m
+            if kk < 4:
+                key = jnp.where(key == m[None, :], _MAX_KEY, key)
+    out_ref[:, :] = keytab[0:8, :]  # anti-DCE (small read, cheap per k_build)
+
+
+run("subchunk_top4", k_subchunk_top4,
+    [pltpu.VMEM((5 * NSUB, TILE), jnp.int32)])

@@ -353,7 +353,7 @@ def pairs_intersect_any(scene, origin, direction, t_max, *, w: int = PAIRS_W):
     unresolved = out[:, 1] > 0.0
     tail_count = jnp.sum(unresolved.astype(jnp.int32))
 
-    chunk = max(1024, min(num_rays, -(-num_rays // 8 // 1024) * 1024))
+    chunk = _tail_chunk(num_rays)
 
     def cond(st):
         return jnp.any(st[0])
@@ -473,11 +473,19 @@ def _visit(scene, origin, direction, t_max, keys, w: int):
     return t_out.reshape(-1)[:n], tri_out.reshape(-1)[:n]
 
 
+def _tail_chunk(num_rays: int) -> int:
+    """Static tail sub-batch: measured unresolved fractions are 0.002%
+    (primary) / 0.5% (bounce1) / 2% (bounce2), so a small chunk almost
+    always drains in one pass — and a whole production-sweep pass at 32K
+    rays costs ~8 ms, which a 7-ray tail must not pay."""
+    return min(num_rays, 4096)
+
+
 def _tail_resolve(scene, origin, direction, t_max, unresolved, t, tri):
     """Re-walk unresolved rays (compacted chunks) through the exact
     production sweep; loops until none remain. Zero iterations when clean."""
     num_rays = origin.shape[0]
-    chunk = max(1024, min(num_rays, -(-num_rays // 8 // 1024) * 1024))
+    chunk = _tail_chunk(num_rays)
 
     def cond(st):
         return jnp.any(st[0])
