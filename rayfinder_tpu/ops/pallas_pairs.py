@@ -89,11 +89,23 @@ def _pad_planes(scene):
     return cmin.T, cmax.T, num_clusters, c_pad
 
 
-_REDCH = 512  # rows per reduce/erase chunk (bounds live registers at 64)
+_REDCH = 512  # rows per reduce/erase chunk (kept for prof/probe_cull.py)
 
 
 def _make_cull_kernel(c_pad: int, rt: int, w_plus1: int, tile: int):
-    def kernel(o_ref, d_ref, tm_ref, mins_ref, maxs_ref, keys_out, keytab):
+    """Build + per-subchunk top-(w_plus1), WRITE-ONLY to the output ref.
+
+    The shipped single-kernel cull read its own VMEM key-table writes back
+    for the global top-4 extraction; Mosaic's vector scheduler serializes
+    that same-ref read-after-write at ~28us/tile (prof/probe_cull.py:
+    build+ex 42.4us vs build 7.0; a DMA copy does not dodge it, 41.2; a
+    two-table pipeline doesn't either, 40.3/tile). Writing per-subchunk
+    top-4 rows straight to the output (never read in-kernel) costs 17.4us
+    and preserves exactness: the global top-4 is a subset of the union of
+    per-64-row-subchunk top-4s; the XLA stage-2 reduce recovers it.
+    """
+
+    def kernel(o_ref, d_ref, tm_ref, mins_ref, maxs_ref, keys_out):
         def tile_body(r, carry):
             ox, oy, oz = o_ref[r, 0, :], o_ref[r, 1, :], o_ref[r, 2, :]
             dx, dy, dz = d_ref[r, 0, :], d_ref[r, 1, :], d_ref[r, 2, :]
@@ -101,10 +113,10 @@ def _make_cull_kernel(c_pad: int, rt: int, w_plus1: int, tile: int):
             ix = jnp.float32(1.0) / dx
             iy = jnp.float32(1.0) / dy
             iz = jnp.float32(1.0) / dz
-            # Slab + pack all clusters into the VMEM key table, sub-chunked
-            # so Mosaic never holds more than 8 live entry registers at a
-            # time (a fused full-table build+reduce spills catastrophically:
-            # 171MB of register spill slots measured at rt=32).
+            # Slab + pack one 64-row sub-chunk at a time (8 live sublane
+            # registers; a fused full-table build+reduce spills
+            # catastrophically: 171MB of register spill slots at rt=32),
+            # reducing each to its w_plus1 nearest keys in registers.
             for a in range(0, c_pad, _SUBCH):
                 e = _slab_entry_rows(
                     mins_ref[:, a:a + _SUBCH], maxs_ref[:, a:a + _SUBCH],
@@ -116,20 +128,12 @@ def _make_cull_kernel(c_pad: int, rt: int, w_plus1: int, tile: int):
                     jnp.maximum(e, jnp.float32(0.0)), jnp.int32)
                 key = jnp.where(finite, (bits & _ENTRY_MASK) | cid,
                                 _MISS_BASE | cid)
-                keytab[a:a + _SUBCH, :] = key
-            # Per-lane W+1 nearest: chunked min + erase-by-key (keys are
-            # unique), reads/writes staying within _REDCH-row register
-            # windows.
-            for k in range(w_plus1):
-                m = jnp.full((tile,), _MAX_KEY, jnp.int32)
-                for a in range(0, c_pad, _REDCH):
-                    m = jnp.minimum(m, keytab[a:a + _REDCH, :].min(axis=0))
-                keys_out[r, k, :] = m
-                if k + 1 < w_plus1:
-                    for a in range(0, c_pad, _REDCH):
-                        blk = keytab[a:a + _REDCH, :]
-                        keytab[a:a + _REDCH, :] = jnp.where(
-                            blk == m[None, :], _MAX_KEY, blk)
+                s = a // _SUBCH
+                for k in range(w_plus1):
+                    m = key.min(axis=0)
+                    keys_out[r, s * w_plus1 + k, :] = m
+                    if k + 1 < w_plus1:
+                        key = jnp.where(key == m[None, :], _MAX_KEY, key)
             return carry
 
         jax.lax.fori_loop(0, rt, tile_body, jnp.int32(0))
@@ -140,9 +144,11 @@ def _make_cull_kernel(c_pad: int, rt: int, w_plus1: int, tile: int):
 def _cull_topw(scene, origin, direction, t_max, w_plus1: int):
     """(B, w_plus1) packed nearest-entry keys (ascending)."""
     minsT, maxsT, _, c_pad = _pad_planes(scene)
+    nsub = c_pad // _SUBCH
+    rows = nsub * w_plus1
     tile, rt = _pick_tile(scene.cluster_tris.shape[0])
     o, d, tm, tiles, n = _prep_rays(origin, direction, t_max, tile, rt)
-    keys = pl.pallas_call(
+    sub = pl.pallas_call(
         _make_cull_kernel(c_pad, rt, w_plus1, tile),
         grid=(tiles // rt,),
         in_specs=[
@@ -153,12 +159,20 @@ def _cull_topw(scene, origin, direction, t_max, w_plus1: int):
             _full_spec(maxsT.shape),
         ],
         out_specs=pl.BlockSpec(
-            (rt, w_plus1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tiles, w_plus1, tile), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((c_pad, tile), jnp.int32)],
+            (rt, rows, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles, rows, tile), jnp.int32),
         interpret=_interpret(),
     )(o, d, tm, minsT, maxsT)
-    return keys.transpose(0, 2, 1).reshape(-1, w_plus1)[:n]
+    # Stage 2 (XLA): global top-(w_plus1) from the per-subchunk top rows.
+    # Keys are unique (cid in the low bits), so erase-by-equality is safe.
+    sub = sub.transpose(0, 2, 1).reshape(-1, rows)[:n]
+    cols = []
+    for k in range(w_plus1):
+        m = sub.min(axis=1)
+        cols.append(m)
+        if k + 1 < w_plus1:
+            sub = jnp.where(sub == m[:, None], _MAX_KEY, sub)
+    return jnp.stack(cols, axis=1)
 
 
 def _key_entry(key):
@@ -297,15 +311,14 @@ def pairs_intersect_any(scene, origin, direction, t_max, *, w: int = PAIRS_W):
     sort_key = (keys[:, 0] & _CID_MASK) * jnp.int32(1 << _CID_BITS) + (
         keys[:, 1] & _CID_MASK)
     perm = jnp.argsort(sort_key).astype(jnp.int32)
+    # Ints ride their own gather: bitcasting key/tri ints through f32 hits
+    # denormal flush-to-zero in the 262K-row scatter/gather lowering
+    # (values < 2^23 silently become 0; scale/layout dependent). XLA fuses
+    # same-index gathers, so the split costs nothing (CLAUDE.md session 4).
     packed = jnp.concatenate(
-        [
-            origin, direction, t_max[:, None],
-            jax.lax.bitcast_convert_type(keys, jnp.float32),
-        ],
-        axis=1,
-    )[perm]
+        [origin, direction, t_max[:, None]], axis=1)[perm]
+    keys_s = keys[perm]
     o_s, d_s, tm_s = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
-    keys_s = jax.lax.bitcast_convert_type(packed[:, 7:], jnp.int32)
 
     tile, rt = _pick_tile(num_clusters)
     o_p, d_p, tm_p, tiles, n = _prep_rays(o_s, d_s, tm_s, tile, rt)
@@ -518,22 +531,18 @@ def pairs_intersect_closest(scene, origin, direction, t_max, *, w: int = PAIRS_W
 
     keys = _cull_topw(scene, origin, direction, t_max, w + 1)
 
-    # Sort rays by (nearest, 2nd-nearest) cluster id; one packed gather
-    # carries rays + keys + bounds (gathers are row-count bound, CLAUDE.md).
+    # Sort rays by (nearest, 2nd-nearest) cluster id. Rays ride one packed
+    # f32 gather; keys ride their own int gather (same indices — XLA fuses
+    # them; bitcasting ints through f32 flushes denormals at this scale).
     sort_key = (keys[:, 0] & _CID_MASK) * jnp.int32(1 << _CID_BITS) + (
         keys[:, 1] & _CID_MASK)
     perm = jnp.argsort(sort_key).astype(jnp.int32)
     packed = jnp.concatenate(
-        [
-            origin, direction, t_max[:, None],
-            jax.lax.bitcast_convert_type(keys, jnp.float32),
-        ],
-        axis=1,
-    )[perm]
+        [origin, direction, t_max[:, None]], axis=1)[perm]
+    keys_s = keys[perm]
     o_s = packed[:, 0:3]
     d_s = packed[:, 3:6]
     tm_s = packed[:, 6]
-    keys_s = jax.lax.bitcast_convert_type(packed[:, 7:], jnp.int32)
 
     t_s, tri_s = _visit(scene, o_s, d_s, tm_s, keys_s, w)
 
@@ -541,19 +550,13 @@ def pairs_intersect_closest(scene, origin, direction, t_max, *, w: int = PAIRS_W
     # still below the best hit distance.
     unres_s = _key_entry(keys_s[:, w]) < t_s
 
-    # Un-permute with ONE packed scatter.
+    # Un-permute: f32 scatter for (t, unres), int scatter for tri.
     back = jnp.concatenate(
-        [
-            t_s[:, None],
-            jax.lax.bitcast_convert_type(tri_s, jnp.float32)[:, None],
-            unres_s[:, None].astype(jnp.float32),
-        ],
-        axis=1,
-    )
-    out = jnp.zeros((num_rays, 3), jnp.float32).at[perm].set(back)
+        [t_s[:, None], unres_s[:, None].astype(jnp.float32)], axis=1)
+    out = jnp.zeros((num_rays, 2), jnp.float32).at[perm].set(back)
+    tri = jnp.full((num_rays,), -1, jnp.int32).at[perm].set(tri_s)
     t = out[:, 0]
-    tri = jax.lax.bitcast_convert_type(out[:, 1], jnp.int32)
-    unresolved = out[:, 2] > 0.0
+    unresolved = out[:, 1] > 0.0
 
     tail_count = jnp.sum(unresolved.astype(jnp.int32))
     t, tri = _tail_resolve(scene, origin, direction, t_max, unresolved, t, tri)
