@@ -90,6 +90,13 @@ def _pad_planes(scene):
 
 
 _REDCH = 512  # rows per reduce/erase chunk (kept for prof/probe_cull.py)
+# Ray tiles per cull grid step. MUST stay small: the r loop is
+# python-unrolled (a fori_loop's dynamic leading-index stores cost
+# ~0.15us each — 188/tile pushed the kernel from 17 to 45us/tile), and
+# Mosaic software-pipelines the unrolled tiles: rt=4 spilled 38MB of
+# scoped VMEM (16MB limit). rt=1 compiles and pays only the ~4us grid
+# step on top of the ~17us tile.
+_CULL_RT = int(os.environ.get("RAYFINDER_CULL_RT", "1"))
 
 
 def _make_cull_kernel(c_pad: int, rt: int, w_plus1: int, tile: int):
@@ -106,7 +113,12 @@ def _make_cull_kernel(c_pad: int, rt: int, w_plus1: int, tile: int):
     """
 
     def kernel(o_ref, d_ref, tm_ref, mins_ref, maxs_ref, keys_out):
-        def tile_body(r, carry):
+        # PYTHON-unrolled ray-tile loop: `r` must be STATIC — a fori_loop's
+        # dynamic leading-index stores cost ~0.15us EACH (188/tile pushed
+        # the in-context kernel to 45.4us/tile vs 17.4 probed with static
+        # rows); rt stays small (grid amortization only needs ~4) so the
+        # unrolled MLIR stays compilable.
+        for r in range(rt):
             ox, oy, oz = o_ref[r, 0, :], o_ref[r, 1, :], o_ref[r, 2, :]
             dx, dy, dz = d_ref[r, 0, :], d_ref[r, 1, :], d_ref[r, 2, :]
             tmax = tm_ref[r, 0, :]
@@ -134,9 +146,6 @@ def _make_cull_kernel(c_pad: int, rt: int, w_plus1: int, tile: int):
                     keys_out[r, s * w_plus1 + k, :] = m
                     if k + 1 < w_plus1:
                         key = jnp.where(key == m[None, :], _MAX_KEY, key)
-            return carry
-
-        jax.lax.fori_loop(0, rt, tile_body, jnp.int32(0))
 
     return kernel
 
@@ -146,7 +155,8 @@ def _cull_topw(scene, origin, direction, t_max, w_plus1: int):
     minsT, maxsT, _, c_pad = _pad_planes(scene)
     nsub = c_pad // _SUBCH
     rows = nsub * w_plus1
-    tile, rt = _pick_tile(scene.cluster_tris.shape[0])
+    tile, _ = _pick_tile(scene.cluster_tris.shape[0])
+    rt = _CULL_RT  # small static unroll (see _make_cull_kernel)
     o, d, tm, tiles, n = _prep_rays(origin, direction, t_max, tile, rt)
     sub = pl.pallas_call(
         _make_cull_kernel(c_pad, rt, w_plus1, tile),
@@ -165,14 +175,17 @@ def _cull_topw(scene, origin, direction, t_max, w_plus1: int):
     )(o, d, tm, minsT, maxsT)
     # Stage 2 (XLA): global top-(w_plus1) from the per-subchunk top rows.
     # Keys are unique (cid in the low bits), so erase-by-equality is safe.
-    sub = sub.transpose(0, 2, 1).reshape(-1, rows)[:n]
+    # Reduce over the ROW axis in the kernel's (tiles, rows, tile) layout —
+    # transposing the full table to row-major first is a ~200MB relayout
+    # that cost ~15ms/pass; the final (tiles, w_plus1, tile) is tiny.
     cols = []
     for k in range(w_plus1):
         m = sub.min(axis=1)
         cols.append(m)
         if k + 1 < w_plus1:
-            sub = jnp.where(sub == m[:, None], _MAX_KEY, sub)
-    return jnp.stack(cols, axis=1)
+            sub = jnp.where(sub == m[:, None, :], _MAX_KEY, sub)
+    keys = jnp.stack(cols, axis=1)  # (tiles, w_plus1, tile)
+    return keys.transpose(0, 2, 1).reshape(-1, w_plus1)[:n]
 
 
 def _key_entry(key):

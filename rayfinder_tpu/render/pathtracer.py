@@ -1264,7 +1264,75 @@ def _accumulate_regen_fused_sorted(
     park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
     dead_key = jnp.int32(2**30)
 
-    def make_body(tile_override=None):
+    # Sort-key mode "cull": order lanes by their CONTINUATION ray's nearest
+    # clusters (ops/pallas_keycull) instead of the previous hit tri —
+    # study_courtsort measured bounce tile-select iterations 56.5 -> 6.2 and
+    # super visits 18.7 -> 2.2 under that ordering. Costs: the key kernel
+    # per iteration plus a wider permute (the sort must run AFTER the shade,
+    # so sh_*/contrib/flag ride it: 23 -> 32 gathered columns).
+    cull_key = os.environ.get("RAYFINDER_SORT_KEY", "tri") == "cull"
+    if cull_key:
+        from ..ops.pallas_keycull import (keycull_tables, pallas_nearest2,
+                                          sort_key_from_keys)
+
+        kc_tables = keycull_tables(scene)
+
+    def make_body_cull(tile_override=None):
+        def body(st):
+            (sample, bounce, flag, origin, direction, thr, srad, lrad,
+             sh_o, sh_d, contrib, uu, vv, nb, pix) = st
+            (sample, bounce, origin, direction, thr, srad, lrad, _t, tri
+             ) = pallas_trace_regen(
+                scene, camera, sky, uu, vv, nb, inv_dims, frame_base,
+                spp_dyn, nf, T_MAX,
+                sample, bounce, flag, origin, direction, thr, srad, lrad,
+                sh_o, sh_d, contrib,
+                tile_override=tile_override,
+            )
+            live = sample < nf
+            noise = noise_of(nb, sample)
+            (flag, origin, direction, thr, bounce, sh_o, sh_d, contrib
+             ) = _nee_and_continuation(
+                scene, noise, origin, direction, tri, thr, bounce, live,
+                sun_dir, solar_radiance, park, num_bounces,
+            )
+            keys2 = pallas_nearest2(kc_tables, origin, direction)
+            key = sort_key_from_keys(keys2)
+            order = jnp.argsort(
+                jnp.where(live, key, dead_key), stable=True)
+            # Floats ride one packed gather; ints their own (same indices —
+            # XLA fuses them; bitcasting ints through f32 flushes denormals
+            # at this scale, CLAUDE.md).
+            packed = jnp.concatenate(
+                [
+                    origin, direction, thr, srad, lrad,
+                    sh_o, sh_d, contrib,
+                    uu[:, None], vv[:, None], nb,
+                ],
+                axis=1,
+            )[order]
+            ints = jnp.stack([sample, bounce, flag, pix], axis=1)[order]
+            origin = packed[:, 0:3]
+            direction = packed[:, 3:6]
+            thr = packed[:, 6:9]
+            srad = packed[:, 9:12]
+            lrad = packed[:, 12:15]
+            sh_o = packed[:, 15:18]
+            sh_d = packed[:, 18:21]
+            contrib = packed[:, 21:24]
+            uu = packed[:, 24]
+            vv = packed[:, 25]
+            nb = packed[:, 26:28]
+            sample = ints[:, 0]
+            bounce = ints[:, 1]
+            flag = ints[:, 2]
+            pix = ints[:, 3]
+            return (sample, bounce, flag, origin, direction, thr, srad, lrad,
+                    sh_o, sh_d, contrib, uu, vv, nb, pix)
+
+        return body
+
+    def make_body_tri(tile_override=None):
         def body(st):
             (sample, bounce, flag, origin, direction, thr, srad, lrad,
              sh_o, sh_d, contrib, uu, vv, nb, pix) = st
@@ -1323,6 +1391,8 @@ def _accumulate_regen_fused_sorted(
                     sh_o, sh_d, contrib, uu, vv, nb, pix)
 
         return body
+
+    make_body = make_body_cull if cull_key else make_body_tri
 
     sample0 = jnp.zeros((batch,), jnp.int32)
     noise0 = noise_of(noise_base_full, sample0)

@@ -1,0 +1,40 @@
+"""RAYFINDER_SORT_KEY=cull: the cull-key-sorted fused loop (sort after the
+shade by the continuation ray's nearest clusters, ops/pallas_keycull) must
+reproduce the wavefront regen result like the tri-key sorted loop does."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rayfinder_tpu.render.camera import create_camera
+from rayfinder_tpu.render.pathtracer import accumulate_samples_regen
+from rayfinder_tpu.render.rng import blue_noise_tile
+from rayfinder_tpu.render.scene import build_device_scene
+from rayfinder_tpu.scene.procedural import courtyard_scene
+from rayfinder_tpu.sky.model import sky_state_from_ui
+
+
+def test_cull_key_sorted_matches_wavefront(monkeypatch):
+    monkeypatch.setenv("RAYFINDER_REGEN_SORT", "1")
+    monkeypatch.setenv("RAYFINDER_SORT_KEY", "cull")
+    flat, textures = courtyard_scene(8)
+    scene = build_device_scene(flat, textures=textures)
+
+    w, h, spp, nb = 36, 28, 2, 3
+    cam = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0,
+                        w / h)
+    sky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=nb, spp=spp, num_frames=spp)
+
+    wave = accumulate_samples_regen(
+        scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="wavefront", **kw,
+    )
+    fused = accumulate_samples_regen(
+        scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="pallas",
+        compact_floor=128, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(wave), rtol=2e-4, atol=1e-5
+    )
