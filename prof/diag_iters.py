@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 import rayfinder_tpu.ops.pallas_walk as pw
 from rayfinder_tpu.ops.pallas_walk import (
     _slab_entry_rows, _seg_select, _gather_rows_T, _mt_block_T, _next_row,
-    _fetch_super, _scene_tables_grouped, _prep_rays, _ray_regs, _full_spec,
+    _fetch_super_start, _fetch_super_wait, _scene_tables_grouped,
+    _prep_rays, _ray_regs, _full_spec,
     _interpret, _GROUP_K, _super_entry_fold,
 )
 from rayfinder_tpu.render.camera import create_camera, generate_camera_ray
@@ -90,7 +91,8 @@ def _closest_sweep_counted(
 
     def s_body(state):
         bt, btri, s, _, sv, it = state
-        _fetch_super(tableT_hbm, tbufT, sem, cache_tag, s)
+        miss = _fetch_super_start(tableT_hbm, tbufT, sem, cache_tag, s)
+        _fetch_super_wait(tableT_hbm, tbufT, sem, miss, s)
         bt, btri, it = cluster_phase(s, bt, btri, it)
         super_entry[s, :] = jnp.full((tile,), jnp.inf, jnp.float32)
         s_next, key = _next_row(super_entry[:, :], bt)
@@ -239,6 +241,16 @@ def main():
         os_, ds_ = on[order], dn[order]
         hit, t, tri = report(f"bounce{bounce} srt", jnp.asarray(os_),
                              jnp.asarray(ds_))
+        # Production cull-key ordering (ops/pallas_keycull approximate
+        # nearest-(c0,c1)): what the RAYFINDER_SORT_KEY=cull loop sees.
+        from rayfinder_tpu.ops.pallas_keycull import (
+            keycull_tables, pallas_nearest2, sort_key_from_keys)
+        kc = keycull_tables(scene)
+        keys2 = pallas_nearest2(kc, jnp.asarray(on), jnp.asarray(dn))
+        ck = np.asarray(sort_key_from_keys(keys2))
+        orderc = np.argsort(ck, kind="stable")
+        report(f"bounce{bounce} cul", jnp.asarray(on[orderc]),
+               jnp.asarray(dn[orderc]))
         on, dn = os_, ds_
 
 

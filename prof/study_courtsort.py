@@ -68,6 +68,54 @@ def study(tag, key):
 
     if key == "none":
         order = np.arange(N)
+    elif key == "approx":
+        # Mimic ops/pallas_keycull: nearest entered GROUP of _G=128
+        # consecutive clusters (pad-excluding union boxes), then top-2
+        # clusters WITHIN that group by packed (entry | cid) key.
+        G = 128
+        s = -(-C // G)
+        gmin = np.full((s, 3), np.inf, np.float32)
+        gmax = np.full((s, 3), -np.inf, np.float32)
+        for g in range(s):
+            sl = slice(g * G, min((g + 1) * G, C))
+            gmin[g] = cmin[sl].min(0)
+            gmax[g] = cmax[sl].max(0)
+        k2 = np.zeros((N,), np.int64)
+        CID_BITS = 14
+        for st_ in range(0, N, 8192):
+            sl = slice(st_, min(st_ + 8192, N))
+            oo, dd = o[sl], d[sl]
+            inv = 1.0 / dd
+            lo = (gmin[None] - oo[:, None]) * inv[:, None]
+            hi = (gmax[None] - oo[:, None]) * inv[:, None]
+            t0 = np.minimum(lo, hi).max(2)
+            t1 = np.maximum(lo, hi).min(2)
+            ok = (t0 <= t1) & (t1 > 0) & (t0 < 1e4)
+            ge = np.where(ok, np.maximum(t0, 0.0), np.inf).astype(np.float32)
+            gbits = ge.view(np.int32).astype(np.int64)
+            gk = np.where(np.isfinite(ge),
+                          (gbits & ~((1 << CID_BITS) - 1))
+                          + np.arange(s)[None], np.int64(2**62))
+            gstar = gk.min(1) & ((1 << CID_BITS) - 1)
+            gmiss = ~np.isfinite(ge).any(1)
+            e = entries(oo, dd)  # (n, C) exact cluster entries
+            keyc = np.full((len(oo), C), 2**62, np.int64)
+            bits = e.astype(np.float32).view(np.int32).astype(np.int64)
+            fin = np.isfinite(e)
+            allk = np.where(fin, (bits & ~((1 << CID_BITS) - 1))
+                            + np.arange(C)[None], np.int64(2**62))
+            for i in range(len(oo)):
+                g = int(gstar[i])
+                slc = slice(g * G, min((g + 1) * G, C))
+                keyc[i, slc] = allk[i, slc]
+            part = np.partition(keyc, 1, axis=1)[:, :2]
+            c0 = part[:, 0] & ((1 << CID_BITS) - 1)
+            c1 = part[:, 1] & ((1 << CID_BITS) - 1)
+            c0 = np.where(part[:, 0] >= 2**62, C, c0)
+            c1 = np.where(part[:, 1] >= 2**62, C, c1)
+            kk = c0 * (C + 1) + c1
+            k2[sl] = np.where(gmiss, (C + 1) * (C + 1), kk)
+        order = np.argsort(k2, kind="stable")
     else:
         # nearest / 2nd-nearest cluster ids from chunked entry computation
         c01 = np.zeros((N, 2), np.int64)
@@ -122,5 +170,5 @@ def study(tag, key):
 
 
 for tag in ("primary", "bounce1srt", "bounce2srt"):
-    for key in ("none", "slot0", "lex"):
+    for key in ("none", "slot0", "lex", "approx"):
         study(tag, key)
