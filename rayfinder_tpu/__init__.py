@@ -18,6 +18,28 @@ Quick start::
 
 __version__ = "0.1.0"
 
+import os as _os
+import sys as _sys
+
+if "jax" in _sys.modules:  # pragma: no cover - environment-dependent
+    # The axon sitecustomize imports jax before any user code, so cache
+    # env vars set by our entry points are read too late; configure the
+    # persistent compile cache directly. The remote tpu_compile_helper
+    # makes minute-long compiles register locally as <1s, which the
+    # default min-compile-time threshold refuses to cache — threshold 0
+    # is required for ANY entry to persist (measured 2026-08-20).
+    _jax = _sys.modules["jax"]
+    try:
+        if not (_os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                or _jax.config.jax_compilation_cache_dir):
+            _jax.config.update("jax_compilation_cache_dir",
+                               _os.path.expanduser("~/.jax_cache"))
+        if not _os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                               0.0)
+    except Exception:
+        pass
+
 
 def __getattr__(name):
     # Lazy exports keep `import rayfinder_tpu` free of jax initialization.
