@@ -241,15 +241,30 @@ def main():
         os_, ds_ = on[order], dn[order]
         hit, t, tri = report(f"bounce{bounce} srt", jnp.asarray(os_),
                              jnp.asarray(ds_))
-        # Production cull-key ordering (ops/pallas_keycull approximate
-        # nearest-(c0,c1)): what the RAYFINDER_SORT_KEY=cull loop sees.
-        from rayfinder_tpu.ops.pallas_keycull import (
-            keycull_tables, pallas_nearest2, sort_key_from_keys)
-        kc = keycull_tables(scene)
-        keys2 = pallas_nearest2(kc, jnp.asarray(on), jnp.asarray(dn))
-        ck = np.asarray(sort_key_from_keys(keys2))
+        # Production dir-key ordering (pathtracer._dir_bin_key replica):
+        # parent hit cluster x 96 world-frame direction bins — what the
+        # RAYFINDER_SORT_KEY=dir loop sees.
+        tri_map = np.asarray(scene.cluster_tri_map)
+        C_ = np.asarray(scene.cluster_min).shape[0]
+        L_ = tri_map.shape[0] // C_
+        t2c = np.zeros(int(tri_map.max()) + 2, np.int64)
+        vmask = tri_map >= 0
+        t2c[tri_map[vmask]] = np.arange(C_ * L_)[vmask] // L_
+        hc = t2c[trih]
+        dd = dn
+        ad = np.abs(dd)
+        is_x = (ad[:, 0] >= ad[:, 1]) & (ad[:, 0] >= ad[:, 2])
+        is_y = ~is_x & (ad[:, 1] >= ad[:, 2])
+        m = np.maximum(ad.max(1), 1e-20)
+        ds2 = np.where(is_x, dd[:, 0], np.where(is_y, dd[:, 1], dd[:, 2]))
+        face = np.where(is_x, 0, np.where(is_y, 2, 4)) + (ds2 > 0)
+        u2 = np.where(is_x, dd[:, 1], np.where(is_y, dd[:, 2], dd[:, 0]))
+        v2 = np.where(is_x, dd[:, 2], np.where(is_y, dd[:, 0], dd[:, 1]))
+        ub = np.clip(((u2 / m + 1.0) * 2.0).astype(np.int64), 0, 3)
+        vb = np.clip(((v2 / m + 1.0) * 2.0).astype(np.int64), 0, 3)
+        ck = hc * 96 + (face * 4 + ub) * 4 + vb
         orderc = np.argsort(ck, kind="stable")
-        report(f"bounce{bounce} cul", jnp.asarray(on[orderc]),
+        report(f"bounce{bounce} dir", jnp.asarray(on[orderc]),
                jnp.asarray(dn[orderc]))
         on, dn = os_, ds_
 

@@ -69,9 +69,175 @@ def slab(o, d, bmin, bmax):
     return t0, t1
 
 
+SA = ((cmax - cmin)[:, 0] * (cmax - cmin)[:, 1]
+      + (cmax - cmin)[:, 1] * (cmax - cmin)[:, 2]
+      + (cmax - cmin)[:, 0] * (cmax - cmin)[:, 2])
+
+
+def hcp_of(o):
+    """Tightest (min-SA) cluster box containing the point; -1 if none."""
+    N = len(o)
+    out = np.full(N, -1, np.int64)
+    for st_ in range(0, N, 8192):
+        sl = slice(st_, min(st_ + 8192, N))
+        oo = o[sl]
+        inside = ((oo[:, None, :] >= cmin[None]) &
+                  (oo[:, None, :] <= cmax[None])).all(2)
+        sak = np.where(inside, SA[None], np.inf)
+        has = inside.any(1)
+        out[sl] = np.where(has, sak.argmin(1), -1)
+    return out
+
+
 def key_of(kind, o, d):
     N = len(o)
     out = np.zeros(N, np.int64)
+    if kind == "ptabS":
+        # Production-realizable table: for each (cluster, octant) bucket,
+        # sample origins on the cluster's triangles + uniform directions in
+        # the octant, key = mode of exact tightc over the samples.
+        rng = np.random.default_rng(11)
+        tris_tab = np.asarray(scene.cluster_tris)  # (C, L, 3, 3)
+        NS = 16
+        table = np.zeros((C + 1, 8), np.int64)
+        for c in range(C):
+            tv = tris_tab[c]
+            areas = np.linalg.norm(
+                np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=1)
+            areas = np.where(np.isfinite(areas), areas, 0.0)
+            if areas.sum() <= 0:
+                continue
+            pr = areas / areas.sum()
+            for oc in range(8):
+                ti = rng.choice(L, NS, p=pr)
+                r1 = np.sqrt(rng.random(NS)); r2 = rng.random(NS)
+                a = 1 - r1; b = r1 * (1 - r2); g = r1 * r2
+                oo = (a[:, None] * tv[ti, 0] + b[:, None] * tv[ti, 1]
+                      + g[:, None] * tv[ti, 2]).astype(np.float32)
+                dd = rng.random((NS, 3)).astype(np.float32) + 1e-3
+                sx = np.asarray([(1 if oc & 4 else -1), (1 if oc & 2 else -1),
+                                 (1 if oc & 1 else -1)], np.float32)
+                dd = dd * sx
+                dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+                tk = key_of("tightc", oo, dd)
+                vals, cnts = np.unique(tk, return_counts=True)
+                table[c, oc] = vals[cnts.argmax()]
+        # Bucket EXACTLY as production would: by the PARENT hit triangle's
+        # cluster (reconstructed from the dump's generation flow) — the
+        # scatter ray's origin sits on that triangle.
+        if CUR_TAG == "bounce1srt":
+            phit = z["primary_hit"]
+            ptri = np.maximum(z["primary_tri"], 0)[phit]
+            order = np.argsort(ptri, kind="stable")
+            pcid = tri_cluster[ptri[order]]
+            bucket_c = np.where(pcid >= 0, pcid, C)
+        else:
+            hcp = hcp_of(o)
+            bucket_c = np.where(hcp >= 0, hcp, C)
+        oct_ = ((d[:, 0] > 0).astype(np.int64) * 4
+                + (d[:, 1] > 0) * 2 + (d[:, 2] > 0))
+        return table[bucket_c, oct_]
+    if kind.startswith("hctan"):
+        # PRE-SHADE key: parent hit cluster x tangent-frame direction cell.
+        # In production the cell comes straight from the scatter NOISE
+        # (cosine sampling is a bijection noise -> (phi, cos theta)), so
+        # this key exists BEFORE the shade — it rides the tri-body sort
+        # placement with no restructure and no extra permute columns.
+        nb_ = int(kind[len("hctan"):])
+        nphi = 8
+        ncos = max(nb_ // nphi, 1)
+        if CUR_TAG != "bounce1srt":
+            return np.zeros(N, np.int64)  # primary: identity (pixel order)
+        phit = z["primary_hit"]
+        ptri = np.maximum(z["primary_tri"], 0)[phit]
+        order0 = np.argsort(ptri, kind="stable")
+        ptri_s = ptri[order0]
+        pcid = tri_cluster[ptri_s]
+        pd = z["primary_d"][phit][order0]
+        sp_ = np.asarray(scene.tri_positions)
+        v0, v1, v2 = sp_[ptri_s, 0], sp_[ptri_s, 1], sp_[ptri_s, 2]
+        gn = np.cross(v1 - v0, v2 - v0)
+        gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-12)
+        gn = np.where((np.einsum("ij,ij->i", gn, pd) > 0)[:, None], -gn, gn)
+        # pixar onb (render/sampling.py convention)
+        s_ = np.where(gn[:, 2] >= 0.0, 1.0, -1.0)
+        a_ = -1.0 / (s_ + gn[:, 2])
+        b_ = gn[:, 0] * gn[:, 1] * a_
+        t1 = np.stack([1.0 + s_ * gn[:, 0] ** 2 * a_, s_ * b_,
+                       -s_ * gn[:, 0]], 1)
+        t2 = np.stack([b_, s_ + gn[:, 1] ** 2 * a_, -gn[:, 1]], 1)
+        x_ = np.einsum("ij,ij->i", d, t1)
+        y_ = np.einsum("ij,ij->i", d, t2)
+        z_ = np.clip(np.einsum("ij,ij->i", d, gn), 0.0, 1.0)
+        phi = np.arctan2(y_, x_)
+        pb = np.clip(((phi / np.pi + 1) * 0.5 * nphi).astype(np.int64),
+                     0, nphi - 1)
+        cb = np.clip((z_ * ncos).astype(np.int64), 0, ncos - 1)
+        return pcid * (nphi * ncos) + pb * ncos + cb
+    if kind.startswith("dir") or kind.startswith("hcpdir"):
+        # Free arithmetic keys: fine direction bins (cube-face x grid),
+        # optionally parent-cluster-major. Costless in production
+        # (elementwise math on the scatter direction + the existing hit
+        # cluster id).
+        nb_ = int(kind[len("hcpdir"):] if kind.startswith("hcpdir")
+                  else kind[len("dir"):])
+        side = max(int(np.sqrt(nb_ // 6)), 1)
+        ax = np.abs(d).argmax(1)
+        sgn = np.take_along_axis(d, ax[:, None], 1)[:, 0] > 0
+        face = ax * 2 + sgn
+        u_ = np.take_along_axis(d, ((ax + 1) % 3)[:, None], 1)[:, 0]
+        v_ = np.take_along_axis(d, ((ax + 2) % 3)[:, None], 1)[:, 0]
+        m_ = np.take_along_axis(np.abs(d), ax[:, None], 1)[:, 0]
+        uu = np.clip(((u_ / m_ + 1) * 0.5 * side).astype(np.int64), 0, side - 1)
+        vv = np.clip(((v_ / m_ + 1) * 0.5 * side).astype(np.int64), 0, side - 1)
+        dbin = (face * side + uu) * side + vv
+        if kind.startswith("hcpdir"):
+            hcp = hcp_of(o)
+            return (hcp + 1) * (6 * side * side) + dbin
+        return dbin
+    if kind.startswith("tightcK"):
+        # tightc over COARSE boxes: unions of K consecutive clusters.
+        # K=128 with clamped-entry group selection was useless (grptight);
+        # this probes whether TIGHT-CONTAINMENT over small unions keeps the
+        # slot0 collapse at 1/K the scan cost.
+        K = int(kind[len("tightcK"):])
+        nB = -(-C // K)
+        bmin = np.full((nB, 3), np.inf, np.float32)
+        bmax = np.full((nB, 3), -np.inf, np.float32)
+        for b_ in range(nB):
+            sl2 = slice(b_ * K, min((b_ + 1) * K, C))
+            bmin[b_] = cmin[sl2].min(0)
+            bmax[b_] = cmax[sl2].max(0)
+        for st_ in range(0, N, 8192):
+            sl = slice(st_, min(st_ + 8192, N))
+            oo, dd = o[sl], d[sl]
+            t0, t1 = slab(oo, dd, bmin, bmax)
+            entered = (t0 <= t1) & (t1 > 0) & (t0 < 1e4)
+            e = np.where(entered, np.maximum(t0, 0.0), np.inf)
+            containing = entered & (t0 <= 0.0)
+            tk = np.where(containing, t0, -np.inf)
+            has = containing.any(1)
+            out[sl] = np.where(has, tk.argmax(1), e.argmin(1))
+        return out
+    if kind in ("hcp", "hcpoct", "ptab"):
+        hcp = hcp_of(o)
+        oct_ = ((d[:, 0] > 0).astype(np.int64) * 4
+                + (d[:, 1] > 0) * 2 + (d[:, 2] > 0))
+        if kind == "hcp":
+            return hcp + 1
+        bucket = (hcp + 1) * 8 + oct_
+        if kind == "hcpoct":
+            return bucket
+        # ptab: ORACLE ceiling — map each (hcp, octant) bucket to the MODE
+        # of the exact tightc target over this very dump, then order by the
+        # mapped target id. A scene-build-time table can at best match this.
+        tgt = key_of("tightc", o, d)
+        table = {}
+        for b in np.unique(bucket):
+            m = bucket == b
+            vals, cnts = np.unique(tgt[m], return_counts=True)
+            table[b] = vals[cnts.argmax()]
+        return np.asarray([table[b] for b in bucket], np.int64)
     for st_ in range(0, N, 8192):
         sl = slice(st_, min(st_ + 8192, N))
         oo, dd = o[sl], d[sl]
@@ -132,7 +298,12 @@ def entries(o, d):
     return np.where(ok, np.maximum(t0, 0.0), np.inf).astype(np.float32)
 
 
+CUR_TAG = None
+
+
 def study(tag, kind):
+    global CUR_TAG
+    CUR_TAG = tag
     o, d = z[f"{tag}_o"], z[f"{tag}_d"]
     hit, t, tri = z[f"{tag}_hit"], z[f"{tag}_t"], z[f"{tag}_tri"]
     true_t = np.where(hit, t, 1e4).astype(np.float32)
@@ -173,7 +344,9 @@ def study(tag, kind):
           f"{svisits.mean():.2f}", flush=True)
 
 
+import os as _os
+KEYS = _os.environ.get(
+    "KEYS", "none,slot0,tightc,grptight,grpt2,cellO,cellF").split(",")
 for tag in ("bounce1srt", "primary"):
-    for kind in ("none", "slot0", "tightc", "grptight", "grpt2", "cellO",
-                 "cellF"):
+    for kind in KEYS:
         study(tag, kind)

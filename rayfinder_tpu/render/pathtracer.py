@@ -1270,12 +1270,58 @@ def _accumulate_regen_fused_sorted(
     # super visits 18.7 -> 2.2 under that ordering. Costs: the key kernel
     # per iteration plus a wider permute (the sort must run AFTER the shade,
     # so sh_*/contrib/flag ride it: 23 -> 32 gathered columns).
-    cull_key = os.environ.get("RAYFINDER_SORT_KEY", "tri") == "cull"
-    if cull_key:
+    sort_key_mode = os.environ.get("RAYFINDER_SORT_KEY", "tri")
+    cull_key = sort_key_mode in ("cull", "dir")
+    if sort_key_mode == "cull":
         from ..ops.pallas_keycull import (keycull_tables, pallas_nearest2,
                                           sort_key_from_keys)
 
         kc_tables = keycull_tables(scene)
+
+    def _dir_bin_key(tri, direction, pix, live):
+        """Free arithmetic sort key: previous hit cluster x 96 direction
+        bins (cube face x 4x4 grid). prof/study_sortkey2.py (dumped
+        courtyard sets): bounce tile SUPER VISITS 18.66 -> 6.91 under this
+        ordering — the production grouped sweep's per-lane selection makes
+        visits (DMA + entry build + selection syncs, ~4us each) the cost
+        that lane sorting moves, and this key needs no key kernel at all
+        (the exact nearest-cluster key reaches 1.9 visits but costs
+        ~17us/tile to compute — more than it saves at full width).
+        Regenerating (miss-but-live) lanes group by pixel so fresh camera
+        rays stay spatially coherent."""
+        hit = tri >= 0
+        hc = t2c[jnp.maximum(tri, 0)]
+        # Branchless dominant-axis cube-map bins: take_along_axis on (B, 3)
+        # lowers as a row-bound gather (~13ns/row: 3.4 ms EACH at bench
+        # width) — elementwise where-chains are free.
+        dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+        adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+        is_x = (adx >= ady) & (adx >= adz)
+        is_y = ~is_x & (ady >= adz)
+        m = jnp.maximum(jnp.maximum(adx, ady), adz)
+        m = jnp.maximum(m, jnp.float32(1e-20))
+        ds = jnp.where(is_x, dx, jnp.where(is_y, dy, dz))
+        face = (jnp.where(is_x, 0, jnp.where(is_y, 2, 4))
+                + (ds > 0).astype(jnp.int32))
+        u_ = jnp.where(is_x, dy, jnp.where(is_y, dz, dx))
+        v_ = jnp.where(is_x, dz, jnp.where(is_y, dx, dy))
+        ub = jnp.clip(((u_ / m + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+        vb = jnp.clip(((v_ / m + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+        dbin = (face * 4 + ub) * 4 + vb
+        key = hc * jnp.int32(96) + dbin
+        key = jnp.where(hit, key, jnp.int32(2**28) + pix)
+        return jnp.where(live, key, dead_key)
+
+    if sort_key_mode == "dir":
+        # tri -> cluster inverse of cluster_tri_map; loop-invariant, built
+        # once per accumulate call (XLA hoists it out of the while_loops).
+        cl_map = scene.cluster_tri_map.reshape(-1)
+        num_tris = scene.tri_positions.shape[0]
+        slots = jnp.arange(cl_map.shape[0], dtype=jnp.int32)
+        cids = slots // scene.cluster_tris.shape[1]
+        t2c = jnp.zeros((num_tris,), jnp.int32).at[
+            jnp.where(cl_map >= 0, cl_map, num_tris)
+        ].set(cids, mode="drop")
 
     def make_body_cull(tile_override=None):
         def body(st):
@@ -1296,10 +1342,14 @@ def _accumulate_regen_fused_sorted(
                 scene, noise, origin, direction, tri, thr, bounce, live,
                 sun_dir, solar_radiance, park, num_bounces,
             )
-            keys2 = pallas_nearest2(kc_tables, origin, direction)
-            key = sort_key_from_keys(keys2)
-            order = jnp.argsort(
-                jnp.where(live, key, dead_key), stable=True)
+            if sort_key_mode == "dir":
+                key = _dir_bin_key(tri, direction, pix, live)
+                order = jnp.argsort(key, stable=True)
+            else:
+                keys2 = pallas_nearest2(kc_tables, origin, direction)
+                key = sort_key_from_keys(keys2)
+                order = jnp.argsort(
+                    jnp.where(live, key, dead_key), stable=True)
             # Floats ride one packed gather; ints their own (same indices —
             # XLA fuses them; bitcasting ints through f32 flushes denormals
             # at this scale, CLAUDE.md).

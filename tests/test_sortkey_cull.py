@@ -1,6 +1,9 @@
-"""RAYFINDER_SORT_KEY=cull: the cull-key-sorted fused loop (sort after the
-shade by the continuation ray's nearest clusters, ops/pallas_keycull) must
-reproduce the wavefront regen result like the tri-key sorted loop does."""
+"""RAYFINDER_SORT_KEY=cull/dir: the alternative-key sorted fused loops (sort
+after the shade — by the continuation ray's nearest clusters for "cull", by
+hit-cluster x direction bin for "dir") must reproduce the wavefront regen
+result like the tri-key sorted loop does."""
+
+import pytest
 
 import numpy as np
 import jax.numpy as jnp
@@ -13,9 +16,10 @@ from rayfinder_tpu.scene.procedural import courtyard_scene
 from rayfinder_tpu.sky.model import sky_state_from_ui
 
 
-def test_cull_key_sorted_matches_wavefront(monkeypatch):
+@pytest.mark.parametrize("mode", ["cull", "dir"])
+def test_alt_key_sorted_matches_wavefront(monkeypatch, mode):
     monkeypatch.setenv("RAYFINDER_REGEN_SORT", "1")
-    monkeypatch.setenv("RAYFINDER_SORT_KEY", "cull")
+    monkeypatch.setenv("RAYFINDER_SORT_KEY", mode)
     flat, textures = courtyard_scene(8)
     scene = build_device_scene(flat, textures=textures)
 
