@@ -1442,7 +1442,52 @@ def _accumulate_regen_fused_sorted(
 
         return body
 
-    make_body = make_body_cull if cull_key else make_body_tri
+    def make_body_nosort(tile_override=None):
+        """kernel -> shade with NO permute: the trailing iterations of a
+        RAYFINDER_SORT_EVERY=N>1 composite body. The sort costs ~10.25
+        ms/iter at bench width (~19% of a courtyard iteration); ordering
+        only affects performance, and its main win — dead-lane tail
+        separation — persists across a segment, so sorting every Nth
+        segment trades a slightly staler order for N-1 saved permutes."""
+        def body(st):
+            (sample, bounce, flag, origin, direction, thr, srad, lrad,
+             sh_o, sh_d, contrib, uu, vv, nb, pix) = st
+            (sample, bounce, origin, direction, thr, srad, lrad, _t, tri
+             ) = pallas_trace_regen(
+                scene, camera, sky, uu, vv, nb, inv_dims, frame_base,
+                spp_dyn, nf, T_MAX,
+                sample, bounce, flag, origin, direction, thr, srad, lrad,
+                sh_o, sh_d, contrib,
+                tile_override=tile_override,
+            )
+            live = sample < nf
+            noise = noise_of(nb, sample)
+            (flag, origin, direction, thr, bounce, sh_o, sh_d, contrib
+             ) = _nee_and_continuation(
+                scene, noise, origin, direction, tri, thr, bounce, live,
+                sun_dir, solar_radiance, park, num_bounces,
+            )
+            return (sample, bounce, flag, origin, direction, thr, srad, lrad,
+                    sh_o, sh_d, contrib, uu, vv, nb, pix)
+
+        return body
+
+    make_body_sorted = make_body_cull if cull_key else make_body_tri
+    sort_every = max(int(os.environ.get("RAYFINDER_SORT_EVERY", "1")), 1)
+
+    def make_body(tile_override=None):
+        bodies = [make_body_sorted(tile_override=tile_override)]
+        bodies += [make_body_nosort(tile_override=tile_override)
+                   for _ in range(sort_every - 1)]
+        if count_rays:
+            bodies = [_count_wrap(b) for b in bodies]
+
+        def composite(st):
+            for b in bodies:
+                st = b(st)
+            return st
+
+        return composite if len(bodies) > 1 else bodies[0]
 
     sample0 = jnp.zeros((batch,), jnp.int32)
     noise0 = noise_of(noise_base_full, sample0)
@@ -1470,7 +1515,6 @@ def _accumulate_regen_fused_sorted(
     full_tiles = (ft, 4096 // ft) if (small_scene and batch >= 4096) else None
     body = make_body(tile_override=full_tiles)
     if count_rays:
-        body = _count_wrap(body)
         state = state + (jnp.zeros((2,), jnp.int32),)
 
     floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
@@ -1510,7 +1554,6 @@ def _accumulate_regen_fused_sorted(
         body = make_body()
         if count_rays:
             state = state + (cnt,)
-            body = _count_wrap(body)
 
     def any_left(st):
         return jnp.any(st[0] < nf)
