@@ -1270,7 +1270,10 @@ def _accumulate_regen_fused_sorted(
     # super visits 18.7 -> 2.2 under that ordering. Costs: the key kernel
     # per iteration plus a wider permute (the sort must run AFTER the shade,
     # so sh_*/contrib/flag ride it: 23 -> 32 gathered columns).
-    sort_key_mode = os.environ.get("RAYFINDER_SORT_KEY", "tri")
+    # Default "dir" measured on TPU (textured courtyard bench): 3.500/3.505/
+    # 3.509 vs tri 3.443/3.447/3.326 (2026-08-21). "cull" (keycull kernel)
+    # measured 2.378 — keep for reference only.
+    sort_key_mode = os.environ.get("RAYFINDER_SORT_KEY", "dir")
     cull_key = sort_key_mode in ("cull", "dir")
     if sort_key_mode == "cull":
         from ..ops.pallas_keycull import (keycull_tables, pallas_nearest2,
