@@ -485,6 +485,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                         rows[0]["shadow"], rows[0]["shadow_bound"],
                         cl_planes_ref, table_hbm, super_entry, cl_entry,
                         cl_all, tbuf, cache_tag, sem, num_supers,
+                        super_min_ref, super_max_ref,
                     )]
                 elif grouped:
                     occs = _any_tile_sweep_grouped(
@@ -537,6 +538,7 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                         rays9[0], bounds[0], cl_planes_ref, start_ref,
                         table_hbm, super_entry, cl_entry, cl_all, tbuf,
                         cache_tag, sem, num_supers,
+                        super_min_ref, super_max_ref,
                     )
                     bts, btris = [bt], [btri]
                 elif grouped:

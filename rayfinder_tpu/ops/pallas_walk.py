@@ -678,28 +678,53 @@ def _next_row_k(super_entries, bounds_k):
 
 
 def _prebuild_entries(cl_planes_ref, rays, bound0, cl_all, super_agg,
-                      num_supers: int):
-    """Build every cluster's slab entry for one tile in a static unroll
-    over supers, writing the (S*G, TILE) table and each super's exact
-    per-lane minimum (S, TILE). All values >= 0, +inf where the slab test
-    fails under bound0; masking by the CURRENT (shrinking) bound at
-    selection time is equivalent to rebuilding with it, because the slab
-    entry does not depend on the bound below the pass/fail cut and
-    min-then-mask == mask-then-min for a per-lane bound."""
+                      num_supers: int, super_min_ref, super_max_ref):
+    """Build every cluster's slab entry for one tile, writing the (S*G,
+    TILE) table and each super's exact per-lane minimum (S, TILE). All
+    values >= 0, +inf where the slab test fails under bound0; masking by
+    the CURRENT (shrinking) bound at selection time is equivalent to
+    rebuilding with it, because the slab entry does not depend on the
+    bound below the pass/fail cut and min-then-mask == mask-then-min for a
+    per-lane bound.
+
+    The build is a fori_loop, NOT a static unroll: the unrolled form let
+    Mosaic software-pipeline all S iterations, keeping every super's
+    (G, TILE) entry block live across the per-super min reduces (+33us per
+    sweep, probe_prebuilt session 9); the serialized loop bounds liveness
+    to one block. Each super's build is gated on its cheap union-box
+    entry (super_agg is pre-seeded with the fat fold): a super whose union
+    box no lane enters under bound0 contains no enterable cluster, its agg
+    rows are already +inf, and its (never-read) cl_all block stays stale.
+    Fully dead / all-miss tiles skip the whole loop."""
     ox, oy, oz, _, _, _, ix, iy, iz = rays
     g = cl_planes_ref.shape[-1]
-    for s in range(num_supers):
-        e = _slab_entry_rows(
-            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
-            ox, oy, oz, ix, iy, iz, bound0,
-        )
-        cl_all[s * g:(s + 1) * g, :] = e
-        super_agg[s, :] = jnp.min(e, axis=0)
+    fat = _super_entry_fold(
+        super_min_ref, super_max_ref, ox, oy, oz, ix, iy, iz, bound0,
+    )
+    super_agg[:, :] = fat
+
+    def body(s, _):
+        @pl.when(jnp.isfinite(jnp.min(super_agg[s, :])))
+        def _():
+            e = _slab_entry_rows(
+                cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+                ox, oy, oz, ix, iy, iz, bound0,
+            )
+            off = pl.multiple_of(s * g, g)
+            cl_all[pl.ds(off, g), :] = e
+            super_agg[s, :] = jnp.min(e, axis=0)
+
+        return 0
+
+    @pl.when(jnp.isfinite(jnp.min(fat)))
+    def _():
+        jax.lax.fori_loop(0, num_supers, body, 0)
 
 
 def _closest_tile_sweep_prebuilt(
     rays, bound0, cl_planes_ref, startf_ref, tableT_hbm,
     super_agg, cl_entry, cl_all, tbufT, cache_tag, sem, num_supers: int,
+    super_min_ref=None, super_max_ref=None,
 ):
     """kr == 1 grouped closest sweep over prebuilt entry tables: exact
     cluster-level super selection (see _PREBUILT), per-lane front-to-back
@@ -713,7 +738,7 @@ def _closest_tile_sweep_prebuilt(
     row_io = jax.lax.broadcasted_iota(jnp.int32, (g, tile), 0)
 
     _prebuild_entries(cl_planes_ref, rays, bound0, cl_all, super_agg,
-                      num_supers)
+                      num_supers, super_min_ref, super_max_ref)
     s0, k0 = _next_row(super_agg[:, :], bound0)
 
     def s_cond(state):
@@ -770,6 +795,7 @@ def _closest_tile_sweep_prebuilt(
 def _any_tile_sweep_prebuilt(
     rays, tmax, cl_planes_ref, tableT_hbm,
     super_agg, cl_entry, cl_all, tbufT, cache_tag, sem, num_supers: int,
+    super_min_ref=None, super_max_ref=None,
 ):
     """kr == 1 grouped occlusion sweep over prebuilt entry tables (the
     any-hit analog of _closest_tile_sweep_prebuilt). Returns occ int32."""
@@ -783,7 +809,7 @@ def _any_tile_sweep_prebuilt(
 
     occ0 = jnp.zeros((tile,), jnp.int32)
     _prebuild_entries(cl_planes_ref, rays, tmax, cl_all, super_agg,
-                      num_supers)
+                      num_supers, super_min_ref, super_max_ref)
     s0, k0 = _next_row(super_agg[:, :], pending(occ0))
 
     def s_cond(state):
@@ -1899,6 +1925,7 @@ def _make_closest_kernel(leaf: int, num_supers: int, rt_count: int,
                     o9 + d9 + inv9, tmax, cl_planes_ref, start_ref,
                     table_hbm, super_entries[0], cl_entries[0], cl_all,
                     tbuf, cache_tag, sem, num_supers,
+                    super_min_ref, super_max_ref,
                 )
                 bts, btris = [bt], [btri]
             elif grouped:
@@ -2050,6 +2077,7 @@ def _make_any_kernel(leaf: int, num_supers: int, rt_count: int,
                     o9 + d9 + inv9, tmax, cl_planes_ref, table_hbm,
                     super_entries[0], cl_entries[0], cl_all, tbuf,
                     cache_tag, sem, num_supers,
+                    super_min_ref, super_max_ref,
                 )]
             elif grouped:
                 occs = _any_tile_sweep_grouped(
