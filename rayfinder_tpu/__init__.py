@@ -34,11 +34,18 @@ if "jax" in _sys.modules:  # pragma: no cover - environment-dependent
                 or _jax.config.jax_compilation_cache_dir):
             _jax.config.update("jax_compilation_cache_dir",
                                _os.path.expanduser("~/.jax_cache"))
-        if not _os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+        # Respect a programmatic user override: only force the threshold
+        # when it still holds jax's default (1.0s).
+        if (not _os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS")
+                and _jax.config.jax_persistent_cache_min_compile_time_secs
+                == 1.0):
             _jax.config.update("jax_persistent_cache_min_compile_time_secs",
                                0.0)
-    except Exception:
-        pass
+    except Exception as _e:
+        import logging as _logging
+
+        _logging.getLogger(__name__).debug(
+            "compile-cache shim skipped: %r", _e)
 
 
 def __getattr__(name):

@@ -1274,6 +1274,11 @@ def _accumulate_regen_fused_sorted(
     # 3.509 vs tri 3.443/3.447/3.326 (2026-08-21). "cull" (keycull kernel)
     # measured 2.378 — keep for reference only.
     sort_key_mode = os.environ.get("RAYFINDER_SORT_KEY", "dir")
+    if sort_key_mode not in ("tri", "dir", "cull"):
+        # A typo'd mode silently falling back to "tri" would invalidate
+        # A/B measurements (ADVICE r4).
+        raise ValueError(
+            f"RAYFINDER_SORT_KEY={sort_key_mode!r}: expected tri|dir|cull")
     cull_key = sort_key_mode in ("cull", "dir")
     if sort_key_mode == "cull":
         from ..ops.pallas_keycull import (keycull_tables, pallas_nearest2,
@@ -1322,8 +1327,13 @@ def _accumulate_regen_fused_sorted(
         num_tris = scene.tri_positions.shape[0]
         slots = jnp.arange(cl_map.shape[0], dtype=jnp.int32)
         cids = slots // scene.cluster_tris.shape[1]
+        # tri_map padding is clamped in-range (never -1, bvh/clusters.py),
+        # so mask PAD-CLUSTER slots instead: their all-zero rows would
+        # scatter a pad cid onto t2c[0], giving triangle 0 a garbage sort
+        # key (ADVICE r4). Pad clusters are (1e30)^3 point boxes.
+        real_cl = scene.cluster_min[:, 0] < jnp.float32(1e29)
         t2c = jnp.zeros((num_tris,), jnp.int32).at[
-            jnp.where(cl_map >= 0, cl_map, num_tris)
+            jnp.where(real_cl[cids], cl_map, num_tris)
         ].set(cids, mode="drop")
 
     def make_body_cull(tile_override=None):

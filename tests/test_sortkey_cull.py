@@ -16,10 +16,16 @@ from rayfinder_tpu.scene.procedural import courtyard_scene
 from rayfinder_tpu.sky.model import sky_state_from_ui
 
 
-@pytest.mark.parametrize("mode", ["cull", "dir"])
-def test_alt_key_sorted_matches_wavefront(monkeypatch, mode):
+@pytest.mark.parametrize(
+    "mode,sort_every", [("cull", 1), ("dir", 1), ("dir", 2), ("dir", 3)]
+)
+def test_alt_key_sorted_matches_wavefront(monkeypatch, mode, sort_every):
     monkeypatch.setenv("RAYFINDER_REGEN_SORT", "1")
     monkeypatch.setenv("RAYFINDER_SORT_KEY", mode)
+    # SORT_EVERY>1 composes sorted + nosort bodies (incl. count_rays
+    # wrapping); it must stay result-identical to the wavefront oracle
+    # (ADVICE r4: previously untested).
+    monkeypatch.setenv("RAYFINDER_SORT_EVERY", str(sort_every))
     flat, textures = courtyard_scene(8)
     scene = build_device_scene(flat, textures=textures)
 
