@@ -141,9 +141,15 @@ def main_courtyard() -> None:
     # BASELINE config 4 specifies base-color textures, so the primary metric
     # includes the texture-gather cost by default (TPU A/B 2026-08-20:
     # textured 3.436/3.436 vs 3.495 untextured, -1.7%).
-    flat, textures = courtyard_scene(
-        26, textured=os.environ.get("RAYFINDER_COURT_TEXTURED", "1") == "1")
-    scene = build_device_scene(flat, textures=textures)
+    textured = os.environ.get("RAYFINDER_COURT_TEXTURED", "1") == "1"
+    if os.environ.get("RAYFINDER_COURT_PT", "1") == "1":
+        # The measured scene rides the PRODUCTION asset path (VERDICT r4
+        # #5): GLB -> gltf loader -> .pt (PTFORMAT3) -> device scene,
+        # exported once and cached on disk.
+        scene = _courtyard_pt_scene(textured)
+    else:
+        flat, textures = courtyard_scene(26, textured=textured)
+        scene = build_device_scene(flat, textures=textures)
     camera = create_camera([-16.0, 5.0, 0.0], [12.0, 2.0, 0.0], 0.0, 1.0, 70.0, w / h)
     sky = sky_state_from_ui(2.5, (0.3, 0.3, 0.3), 35.0, 25.0)
     tile = jnp.asarray(blue_noise_tile())
@@ -184,36 +190,75 @@ def main_courtyard() -> None:
         file=sys.stderr,
     )
     if os.environ.get("RAYFINDER_BENCH_EFF", "1") == "1":
-        _courtyard_efficiency(scene, camera, w, h)
+        eff = _courtyard_efficiency(scene, camera, w, h)
+        if eff:
+            # Re-print the JSON line with the efficiency fields folded in
+            # (VERDICT r4 #4). The parent takes the LAST metric line, so a
+            # fault above never costs the measurement already printed.
+            line.update(eff)
+            print(json.dumps(line), flush=True)
 
 
-def _courtyard_efficiency(scene, camera, w, h) -> None:
-    """Traversal-efficiency diagnostic (VERDICT r3 #7): issued MT tests vs
-    the per-ray front-to-back NEED on the bench camera's primary rays, via
-    the counted grouped-sweep kernel (prof/diag_iters.py). Runs AFTER the
-    measurement JSON is printed — a fault here never costs the number."""
+def _courtyard_pt_scene(textured: bool):
+    """Benchmark courtyard via GLB -> loader -> .pt -> device scene,
+    cached at a stable path so the (one-time) export+BVH build never rides
+    a timed window. Falls back to the procedural build on any failure —
+    the measurement must never be lost to an asset-path problem."""
+    try:
+        import tempfile
+
+        from rayfinder_tpu.io import PtScene, read_pt, write_pt
+        from rayfinder_tpu.scene.procedural import courtyard_scene
+        from rayfinder_tpu.tools.export_glb import export_flattened_glb
+
+        cache_dir = pathlib.Path(
+            os.environ.get("RAYFINDER_PT_CACHE", "/root/.cache/rayfinder"))
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        pt = cache_dir / f"courtyard_s26_tex{int(textured)}.pt"
+        if not pt.exists():
+            flat, textures = courtyard_scene(26, textured=textured)
+            with tempfile.TemporaryDirectory() as td:
+                glb = pathlib.Path(td) / "courtyard.glb"
+                export_flattened_glb(flat, textures, glb)
+                write_pt(PtScene.from_gltf(glb), pt)
+        scene = read_pt(pt).to_device_scene()
+        print(f"courtyard scene loaded from .pt: {pt} "
+              f"({pt.stat().st_size / 1e6:.1f} MB)", file=sys.stderr)
+        return scene
+    except Exception as e:
+        print(f"bench: .pt courtyard path failed ({e!r}); "
+              "falling back to procedural build", file=sys.stderr)
+        from rayfinder_tpu.render.scene import build_device_scene
+        from rayfinder_tpu.scene.procedural import courtyard_scene
+
+        flat, textures = courtyard_scene(26, textured=textured)
+        return build_device_scene(flat, textures=textures)
+
+
+def _courtyard_efficiency(scene, camera, w, h) -> dict | None:
+    """Traversal-efficiency diagnostic (VERDICT r3 #7 / r4 #4): issued MT
+    tests vs the per-ray front-to-back NEED, on the bench camera's PRIMARY
+    rays and on dir-key-sorted BOUNCE-1/2 populations (the populations every
+    measurement says carry the divergence cost), via the counted
+    grouped-sweep kernel (prof/diag_iters.py). Runs AFTER the measurement
+    JSON is printed — a fault here never costs the number. Returns the
+    mt_waste_* fields for the JSON line."""
     try:
         import jax
         import jax.numpy as jnp
 
         if jax.default_backend() != "tpu":
-            return  # interpret-mode counted kernels are impractically slow
+            return None  # interpret-mode counted kernels impractically slow
 
         sys.path.insert(0, str(pathlib.Path(__file__).parent / "prof"))
-        from diag_iters import counted_closest
+        from diag_iters import cosine_bounce, counted_closest, dir_key_order
 
         from rayfinder_tpu.render.camera import generate_camera_ray
         from rayfinder_tpu.render.wavefront import _slab_entry
 
-        js, is_ = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
-        u = (js.reshape(-1) + 0.5).astype(np.float32) / w
-        v = 1.0 - (is_.reshape(-1) + 0.5).astype(np.float32) / h
-        o, d = generate_camera_ray(camera, jnp.asarray(u), jnp.asarray(v))
-        hit, t, tri, sv, it = counted_closest(scene, o, d, jnp.float32(1e4))
+        prebuilt = os.environ.get("RAYFINDER_PREBUILT", "0") == "1"
         tile = 128
         leaf = scene.cluster_tris.shape[1]
-        nrays = o.shape[0]
-        issued = int(np.asarray(it, np.int64).sum()) * tile * leaf
 
         # Per-ray NEED: clusters whose entry precedes the true hit (what a
         # per-ray front-to-back walk must test), dense slab in chunks.
@@ -227,23 +272,54 @@ def _courtyard_efficiency(scene, camera, w, h) -> None:
             )
             return jnp.sum((hit_c & (entry < t_c[:, None])).astype(jnp.int32))
 
-        t_true = jnp.where(hit, t, jnp.float32(1e4))
-        needed_clusters = 0
-        for s in range(0, nrays, 16384):
-            needed_clusters += int(need_chunk(
-                o[s:s + 16384], d[s:s + 16384], t_true[s:s + 16384]))
-        needed = needed_clusters * leaf
-        waste = 100.0 * (1.0 - needed / max(issued, 1))
-        print(
-            f"efficiency(primary rays): issued_mt_tests={issued} "
-            f"({issued / nrays:.0f}/ray) needed={needed} "
-            f"({needed / nrays:.0f}/ray) wasted={waste:.1f}% "
-            f"supers/tile={float(np.asarray(sv).mean()):.1f} "
-            f"inner_iters/tile={float(np.asarray(it).mean()):.1f}",
-            file=sys.stderr,
-        )
+        def measure(tag, o, d):
+            hit, t, tri, sv, it = counted_closest(
+                scene, o, d, jnp.float32(1e4), prebuilt=prebuilt)
+            nrays = o.shape[0]
+            issued = int(np.asarray(it, np.int64).sum()) * tile * leaf
+            t_true = jnp.where(hit, t, jnp.float32(1e4))
+            needed_clusters = 0
+            for s in range(0, nrays, 16384):
+                needed_clusters += int(need_chunk(
+                    o[s:s + 16384], d[s:s + 16384], t_true[s:s + 16384]))
+            needed = needed_clusters * leaf
+            waste = 100.0 * (1.0 - needed / max(issued, 1))
+            print(
+                f"efficiency({tag} rays): issued_mt_tests={issued} "
+                f"({issued / nrays:.0f}/ray) needed={needed} "
+                f"({needed / nrays:.0f}/ray) wasted={waste:.1f}% "
+                f"supers/tile={float(np.asarray(sv).mean()):.1f} "
+                f"inner_iters/tile={float(np.asarray(it).mean()):.1f}",
+                file=sys.stderr,
+            )
+            return hit, t, tri, round(waste, 1)
+
+        js, is_ = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+        u = (js.reshape(-1) + 0.5).astype(np.float32) / w
+        v = 1.0 - (is_.reshape(-1) + 0.5).astype(np.float32) / h
+        o, d = generate_camera_ray(camera, jnp.asarray(u), jnp.asarray(v))
+        hit, t, tri, waste_p = measure("primary", o, d)
+        fields = {"mt_waste_primary": waste_p}
+
+        # Bounce populations: cosine scatter off the hit surfaces, lanes
+        # ordered by the production dir key — what the sorted fused loop's
+        # kernel actually sees. Deterministic for the fixed bench scene, so
+        # the counted-kernel shapes stay cache-stable across rounds.
+        rng = np.random.default_rng(7)
+        on, dn = np.asarray(o), np.asarray(d)
+        for b in (1, 2):
+            on, dn, trih = cosine_bounce(
+                scene, on, dn, np.asarray(hit), np.asarray(t),
+                np.asarray(tri), rng)
+            order = dir_key_order(scene, dn, trih)
+            on, dn = on[order], dn[order]
+            hit, t, tri, waste_b = measure(
+                f"bounce{b}-dirsorted", jnp.asarray(on), jnp.asarray(dn))
+            fields[f"mt_waste_bounce{b}"] = waste_b
+        return fields
     except Exception as e:  # diagnostic only
         print(f"bench: efficiency diagnostic failed: {e!r}", file=sys.stderr)
+        return None
 
 
 _QUALITY_RMSE_BUDGET = 1e-3  # BASELINE north star: RMSE < 1e-3 at scale
@@ -291,11 +367,18 @@ def _primary_hit_rate(scene, camera) -> float:
     return float(np.asarray(hit).mean())
 
 
-def _probe_device(timeout_s: float = 300.0) -> bool:
+def _probe_device(timeout_s: float = 600.0) -> bool:
     """Cheap tunnel-health check in a throwaway process (a dead axon tunnel
-    hangs every jax import; never touch jax in the parent)."""
+    hangs every jax import; never touch jax in the parent). Importing
+    rayfinder_tpu first installs the persistent-cache config, so the probe
+    compile itself caches: on a COLD cache the remote compile helper takes
+    3+ minutes even for a trivial jit (measured 195s, 2026-08-21), hence
+    the generous default timeout — a repeatedly-timing-out probe starves
+    the whole bench budget."""
+    repo = str(pathlib.Path(__file__).resolve().parent)
     code = (
-        "import jax, jax.numpy as jnp;"
+        f"import sys; sys.path.insert(0, {repo!r});"
+        "import rayfinder_tpu, jax, jax.numpy as jnp;"
         "print(float(jax.jit(lambda a: (a*2+1).sum())(jnp.arange(16.0))))"
     )
     try:
@@ -355,10 +438,15 @@ def _try_engines(deadline: float) -> str | None:
             file=sys.stderr,
         )
         sys.stderr.write(stderr or "")
+        # LAST metric line: a child may re-print the line with diagnostic
+        # fields folded in after the initial (fault-safe) print.
+        found = None
         for line in (stdout or "").splitlines():
             line = line.strip()
             if line.startswith("{") and '"metric"' in line:
-                return line
+                found = line
+        if found is not None:
+            return found
         if i + 1 < len(engines):
             # Child died or hung (worker fault?): give the TPU a moment
             # before the fallback engine tries to attach.
@@ -396,13 +484,16 @@ def _try_courtyard(deadline: float) -> dict | None:
         file=sys.stderr,
     )
     sys.stderr.write(stderr or "")
+    found = None
     for line in (stdout or "").splitlines():
         line = line.strip()
         if line.startswith("{") and '"metric"' in line:
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                return None
+            found = line
+    if found is not None:
+        try:
+            return json.loads(found)
+        except json.JSONDecodeError:
+            return None
     return None
 
 
@@ -418,7 +509,7 @@ def _parent() -> None:
             f"bench: attempt {attempt}, {remaining:.0f}s of budget left",
             file=sys.stderr,
         )
-        if not _probe_device(timeout_s=min(300.0, max(60.0, remaining))):
+        if not _probe_device(timeout_s=min(600.0, max(60.0, remaining))):
             # Tunnel down or hung; recovery has been observed to take
             # minutes to hours. Re-probe on a patient cadence.
             time.sleep(min(90.0, max(0.0, deadline - time.time())))
@@ -445,6 +536,10 @@ def _parent() -> None:
     duck["time_to_1024spp_1080p_s"] = (
         float(court.get("time_to_1024spp_1080p_s", 0.0)) if court else 0.0
     )
+    if court:
+        for k in ("mt_waste_primary", "mt_waste_bounce1", "mt_waste_bounce2"):
+            if k in court:
+                duck[k] = court[k]
     # Quality gate (tools/make_quality_goldens.py): worst RMSE across the two
     # children's full-scale renders vs the wavefront-engine goldens.
     rmses = [c["quality_rmse"] for c in (duck, court) if c and "quality_rmse" in c]
