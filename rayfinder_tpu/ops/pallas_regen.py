@@ -583,6 +583,222 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
     return kernel
 
 
+def _make_path_kernel_segs(leaf: int, num_supers: int, rt_count: int,
+                           segs: int):
+    """Multi-hit-segment persistent path kernel (VERDICT r4 #2, flat
+    sweeps / small scenes): each lane PIPELINES `segs` independent paths
+    of its pixel. A lane whose active path stops at a surface hit parks
+    that path's segment in its slot and immediately continues tracing its
+    next slot (a pending continuation or a freshly regenerated sample)
+    instead of idling until every tile-mate stops — so each dispatch
+    returns `segs` hit segments per lane and the outer XLA loop runs
+    ~1/segs as many iterations, with per-round occupancy harvested from
+    the straggler tail. Reference analog: the megakernel never leaves the
+    GPU between bounces (reference_path_tracer.wgsl:180-234).
+
+    Slot state (per lane, per slot j): sample index, bounce, pending-NEE
+    flag, ray, throughput, per-sample radiance. Shared per lane: the
+    sample ALLOCATOR (next unassigned sample of the pixel), lane radiance,
+    pixel uv + blue-noise base. Each sample's radiance is bit-identical to
+    the single-slot kernel (the noise stream depends only on the sample
+    index); only the f32 ADD ORDER into the lane accumulator changes —
+    the same few-ulp regrouping the phase compaction already has."""
+
+    def kernel(
+        salloc_ref, pix_ref, lrad_ref, scnt_ref, sray_ref, sthr_ref,
+        snee_ref,
+        fscal, iscal, start_ref, super_min_ref, super_max_ref,
+        cl_planes_ref, table_hbm,
+        salloc_out, lrad_out, ocnt_out, oray_out, othr_out, t_out,
+        super_entry, cl_entry, tbuf, cache_tag, sem,
+    ):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            cache_tag[0] = jnp.int32(-1)
+
+        nf = iscal[2]
+        t_max = fscal[_F_T_MAX]
+        neg_inf = jnp.float32(-jnp.inf)
+        _S = 17  # per-slot flat-state width
+
+        def per_tile(rt, _):
+            u_row, v_row = pix_ref[rt, 0, :], pix_ref[rt, 1, :]
+            nb0, nb1 = pix_ref[rt, 2, :], pix_ref[rt, 3, :]
+            salloc = salloc_ref[rt, 0, :]
+            lrad = [lrad_ref[rt, a, :] for a in range(3)]
+            lanes = salloc.shape[0]
+            one = jnp.float32(1.0)
+
+            slots = []
+            for j in range(segs):
+                s = {
+                    "ssample": scnt_ref[rt, 3 * j + 0, :],
+                    "bounce": scnt_ref[rt, 3 * j + 1, :],
+                    "flag": scnt_ref[rt, 3 * j + 2, :],
+                    "o": [sray_ref[rt, 6 * j + a, :] for a in range(3)],
+                    "d": [sray_ref[rt, 6 * j + 3 + a, :] for a in range(3)],
+                    "thr": [sthr_ref[rt, 6 * j + a, :] for a in range(3)],
+                    "srad": [sthr_ref[rt, 6 * j + 3 + a, :] for a in range(3)],
+                }
+                slots.append(s)
+
+            # --- prologue, per slot: NEE occlusion sweep, visibility add,
+            # terminate-after-NEE flush, slot regeneration.
+            for j, s in enumerate(slots):
+                live = s["ssample"] < nf
+                so = [snee_ref[rt, 9 * j + a, :] for a in range(3)]
+                sd = [snee_ref[rt, 9 * j + 3 + a, :] for a in range(3)]
+                c = [snee_ref[rt, 9 * j + 6 + a, :] for a in range(3)]
+                has_nee = live & (s["flag"] > 0)
+                nonzero_c = (c[0] != 0.0) | (c[1] != 0.0) | (c[2] != 0.0)
+                sb = jnp.where(has_nee & nonzero_c, t_max, neg_inf)
+                occ = _any_tile_sweep(
+                    (so[0], so[1], so[2], sd[0], sd[1], sd[2],
+                     one / sd[0], one / sd[1], one / sd[2]), sb,
+                    start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                    num_supers=num_supers,
+                )
+                vis = jnp.where(occ == 0, one, jnp.float32(0.0))
+                for a in range(3):
+                    s["srad"][a] = jnp.where(
+                        has_nee, s["srad"][a] + c[a] * vis, s["srad"][a])
+                term = live & (s["flag"] == 2)
+                for a in range(3):
+                    lrad[a] = jnp.where(term, lrad[a] + s["srad"][a], lrad[a])
+                    s["srad"][a] = jnp.where(
+                        term, jnp.float32(0.0), s["srad"][a])
+                new_s = jnp.where(term, salloc, s["ssample"])
+                salloc = jnp.where(term, salloc + 1, salloc)
+                s["ssample"] = new_s
+                regen0 = term & (new_s < nf)
+                nx, ny = _noise_rows(new_s, nb0, nb1, iscal)
+                p6 = _primary_rows(u_row, v_row, nx, ny, fscal)
+                for a in range(3):
+                    s["o"][a] = jnp.where(regen0, p6[a], s["o"][a])
+                    s["d"][a] = jnp.where(regen0, p6[3 + a], s["d"][a])
+                    s["thr"][a] = jnp.where(regen0, one, s["thr"][a])
+                s["bounce"] = jnp.where(regen0, 1, s["bounce"])
+                s["tfin"] = jnp.full((lanes,), t_max, jnp.float32)
+                s["trifin"] = jnp.full((lanes,), -1, jnp.int32)
+                s["parked"] = jnp.zeros((lanes,), jnp.int32)
+
+            # --- main loop: trace each lane's first unparked inflight slot;
+            # hits park the slot, misses fold sky + regenerate in place.
+            def flatten(salloc, lrad, slots, flag):
+                st = [salloc] + lrad
+                for s in slots:
+                    st += ([s["ssample"], s["bounce"]] + s["o"] + s["d"]
+                           + s["thr"] + s["srad"]
+                           + [s["tfin"], s["trifin"], s["parked"]])
+                st.append(flag)
+                return tuple(st)
+
+            def unflatten(fl):
+                salloc, lrad = fl[0], list(fl[1:4])
+                slots = []
+                for j in range(segs):
+                    b = 4 + _S * j
+                    slots.append({
+                        "ssample": fl[b], "bounce": fl[b + 1],
+                        "o": list(fl[b + 2:b + 5]),
+                        "d": list(fl[b + 5:b + 8]),
+                        "thr": list(fl[b + 8:b + 11]),
+                        "srad": list(fl[b + 11:b + 14]),
+                        "tfin": fl[b + 14], "trifin": fl[b + 15],
+                        "parked": fl[b + 16],
+                    })
+                return salloc, lrad, slots
+
+            def infl_flag(slots):
+                infl = None
+                for s in slots:
+                    i = (s["ssample"] < nf) & (s["parked"] == 0)
+                    infl = i if infl is None else (infl | i)
+                return jnp.max(jnp.where(infl, 1, 0)).astype(jnp.int32)
+
+            def cond(fl):
+                return fl[-1] > 0
+
+            def one_round(fl):
+                salloc, lrad, slots = unflatten(fl)
+                act = jnp.full((lanes,), segs, jnp.int32)
+                for j in reversed(range(segs)):
+                    infl = (slots[j]["ssample"] < nf) & (slots[j]["parked"] == 0)
+                    act = jnp.where(infl, j, act)
+
+                def sel(field, a):
+                    out = slots[0][field][a]
+                    for j in range(1, segs):
+                        out = jnp.where(act == j, slots[j][field][a], out)
+                    return out
+
+                ox, oy, oz = (sel("o", a) for a in range(3))
+                dx, dy, dz = (sel("d", a) for a in range(3))
+                bound = jnp.where(act < segs, t_max, neg_inf)
+                bt, btri = _closest_tile_sweep(
+                    (ox, oy, oz, dx, dy, dz, one / dx, one / dy, one / dz),
+                    bound,
+                    start_ref, super_min_ref, super_max_ref, cl_planes_ref,
+                    table_hbm, super_entry, cl_entry, tbuf, cache_tag, sem,
+                    num_supers=num_supers,
+                )
+                hit_any = btri >= 0
+                miss_any = (act < segs) & (btri < 0)
+                sky = _sky_rows(dx, dy, dz, fscal)
+                # One regen allocation serves the (single) missing slot of
+                # each missing lane.
+                new_s = salloc
+                nx, ny = _noise_rows(new_s, nb0, nb1, iscal)
+                p6 = _primary_rows(u_row, v_row, nx, ny, fscal)
+                salloc = jnp.where(miss_any, salloc + 1, salloc)
+                for j, s in enumerate(slots):
+                    mine = act == j
+                    hit = mine & hit_any
+                    s["tfin"] = jnp.where(hit, bt, s["tfin"])
+                    s["trifin"] = jnp.where(hit, btri, s["trifin"])
+                    s["parked"] = jnp.where(hit, 1, s["parked"])
+                    miss = mine & miss_any
+                    for a in range(3):
+                        sa = s["srad"][a] + s["thr"][a] * sky[a]
+                        lrad[a] = jnp.where(miss, lrad[a] + sa, lrad[a])
+                        s["srad"][a] = jnp.where(
+                            miss, jnp.float32(0.0), s["srad"][a])
+                    s["ssample"] = jnp.where(miss, new_s, s["ssample"])
+                    regen = miss & (new_s < nf)
+                    for a in range(3):
+                        s["o"][a] = jnp.where(regen, p6[a], s["o"][a])
+                        s["d"][a] = jnp.where(regen, p6[3 + a], s["d"][a])
+                        s["thr"][a] = jnp.where(regen, one, s["thr"][a])
+                    s["bounce"] = jnp.where(regen, 1, s["bounce"])
+                return flatten(salloc, lrad, slots, infl_flag(slots))
+
+            fl = flatten(salloc, lrad, slots, infl_flag(slots))
+            fl = jax.lax.while_loop(cond, one_round, fl)
+            salloc, lrad, slots = unflatten(fl)
+
+            salloc_out[rt, 0, :] = salloc
+            for a in range(3):
+                lrad_out[rt, a, :] = lrad[a]
+            for j, s in enumerate(slots):
+                ocnt_out[rt, 3 * j + 0, :] = s["ssample"]
+                ocnt_out[rt, 3 * j + 1, :] = s["bounce"]
+                ocnt_out[rt, 3 * j + 2, :] = s["trifin"]
+                for a in range(3):
+                    oray_out[rt, 6 * j + a, :] = s["o"][a]
+                    oray_out[rt, 6 * j + 3 + a, :] = s["d"][a]
+                    othr_out[rt, 6 * j + a, :] = s["thr"][a]
+                    othr_out[rt, 6 * j + 3 + a, :] = s["srad"][a]
+                t_out[rt, j, :] = s["tfin"]
+            return 0
+
+        jax.lax.fori_loop(0, rt_count, per_tile, 0)
+
+    return kernel
+
+
 def _pack_fscal(camera, sky, t_max, inv_dims) -> jnp.ndarray:
     from ..render.pathtracer import SOLAR_COS_THETA_MAX, SOLAR_INV_PDF
     from ..render.sampling import pixar_onb
@@ -1056,6 +1272,129 @@ def pallas_trace_regen(
     t = unpack(t_o, 0)
     tri = unpack(tri_o, 0)
     return sample, bounce, origin, direction, thr, srad, lrad, t, tri
+
+
+def pallas_trace_regen_segs(
+    scene, camera, sky, u, v_tex, noise_base, inv_dims, frame_base, spp_dyn,
+    num_frames_dyn, t_max,
+    salloc, lrad, slot_cnt, slot_ray, slot_thr, slot_nee,
+    tile_override=None, segs=2,
+):
+    """Multi-hit-segment variant of pallas_trace_regen (flat-sweep scenes
+    only — see _make_path_kernel_segs). Per-slot columns (K = segs):
+    slot_cnt (B, 3K) i32 [ssample, bounce, flag]; slot_ray (B, 6K)
+    [o3, d3]; slot_thr (B, 6K) [thr3, srad3]; slot_nee (B, 9K)
+    [sh_o3, sh_d3, contrib3]. Returns (salloc, lrad, ocnt (B, 3K)
+    [ssample, bounce, tri], oray (B, 6K), othr (B, 6K), t (B, K))."""
+    from .pallas_walk import _grouped_mode
+
+    assert not _grouped_mode(scene.cluster_tris.shape[0]), (
+        "segs kernel is flat-sweep only")
+    num_rays = u.shape[0]
+    tile, rt = tile_override or _pick_tile(scene.cluster_tris.shape[0])
+    padded = -(-num_rays // (tile * rt)) * (tile * rt)
+    pad = padded - num_rays
+
+    def pad1(a, value):
+        if pad == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], value, a.dtype)])
+
+    salloc_p = jnp.minimum(pad1(salloc, 2**30), num_frames_dyn)
+    lrad_p = pad1(lrad, 0.0)
+    u_p, v_p = pad1(u, 0.5), pad1(v_tex, 0.5)
+    nb_p = pad1(noise_base, 0.0)
+    cnt_p = pad1(slot_cnt, 0)
+    # Padding lanes: every slot exhausted (ssample = nf), flags cleared.
+    if pad:
+        dead = jnp.concatenate([
+            jnp.zeros((num_rays,), bool), jnp.ones((pad,), bool)])
+        for j in range(segs):
+            cnt_p = cnt_p.at[:, 3 * j].set(
+                jnp.where(dead, num_frames_dyn, cnt_p[:, 3 * j]))
+            cnt_p = cnt_p.at[:, 3 * j + 2].set(
+                jnp.where(dead, 0, cnt_p[:, 3 * j + 2]))
+    ray_p = pad1(slot_ray, 1.0)
+    if pad:  # keep padded origins finite but far
+        for j in range(segs):
+            ray_p = ray_p.at[num_rays:, 6 * j:6 * j + 3].set(1e30)
+    thr_p = pad1(slot_thr, 0.0)
+    nee_p = pad1(slot_nee, 1.0)
+    if pad:
+        for j in range(segs):
+            nee_p = nee_p.at[num_rays:, 9 * j + 6:9 * j + 9].set(0.0)
+
+    tiles = padded // tile
+    salloc_b = _pack_rows([salloc_p], tiles, tile)
+    pix_b = _pack_rows([u_p, v_p, nb_p[:, 0], nb_p[:, 1]], tiles, tile)
+    lrad_b = _pack_rows([lrad_p[:, a] for a in range(3)], tiles, tile)
+    cnt_b = _pack_rows([cnt_p[:, c] for c in range(3 * segs)], tiles, tile)
+    ray_b = _pack_rows([ray_p[:, c] for c in range(6 * segs)], tiles, tile)
+    thr_b = _pack_rows([thr_p[:, c] for c in range(6 * segs)], tiles, tile)
+    nee_b = _pack_rows([nee_p[:, c] for c in range(9 * segs)], tiles, tile)
+
+    fscal = _pack_fscal(camera, sky, t_max, inv_dims)
+    iscal = jnp.stack([
+        jnp.asarray(frame_base, jnp.int32),
+        jnp.asarray(spp_dyn, jnp.int32),
+        jnp.asarray(num_frames_dyn, jnp.int32),
+    ])
+
+    grouped, tables, start_spec, scratch = _walk_tables_and_specs(scene)
+    table, starts, super_min, super_max, cl_planes = tables
+    num_supers = table.shape[0]
+    leaf = scene.cluster_tris.shape[1]
+
+    def full(shape):
+        zeros = tuple(0 for _ in shape)
+        return pl.BlockSpec(shape, lambda i, z=zeros: z,
+                            memory_space=pltpu.VMEM)
+
+    def rows(c, dtype=jnp.float32):
+        return (
+            pl.BlockSpec((rt, c, tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            jax.ShapeDtypeStruct((tiles, c, tile), dtype),
+        )
+
+    scratch_shapes = scratch(num_supers, tile, 1)
+    in_specs = [
+        rows(1)[0], rows(4)[0], rows(3)[0], rows(3 * segs)[0],
+        rows(6 * segs)[0], rows(6 * segs)[0], rows(9 * segs)[0],
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
+        start_spec,
+        full(super_min.shape),
+        full(super_max.shape),
+        full(cl_planes.shape),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_sp = [rows(1, jnp.int32), rows(3), rows(3 * segs, jnp.int32),
+              rows(6 * segs), rows(6 * segs), rows(segs)]
+    outs = pl.pallas_call(
+        _make_path_kernel_segs(leaf, num_supers, rt, segs),
+        grid=(tiles // rt,),
+        in_specs=in_specs,
+        out_specs=[s for s, _ in out_sp],
+        out_shape=[sh for _, sh in out_sp],
+        scratch_shapes=scratch_shapes,
+        interpret=_interpret(),
+    )(salloc_b, pix_b, lrad_b, cnt_b, ray_b, thr_b, nee_b, fscal, iscal,
+      starts, super_min, super_max, cl_planes, table)
+
+    salloc_o, lrad_o, ocnt_o, oray_o, othr_o, t_o = outs
+
+    def unpack(block, ch):
+        return block[:, ch, :].reshape(-1)[:num_rays]
+
+    salloc = unpack(salloc_o, 0)
+    lrad = jnp.stack([unpack(lrad_o, a) for a in range(3)], axis=1)
+    ocnt = jnp.stack([unpack(ocnt_o, c) for c in range(3 * segs)], axis=1)
+    oray = jnp.stack([unpack(oray_o, c) for c in range(6 * segs)], axis=1)
+    othr = jnp.stack([unpack(othr_o, c) for c in range(6 * segs)], axis=1)
+    t = jnp.stack([unpack(t_o, j) for j in range(segs)], axis=1)
+    return salloc, lrad, ocnt, oray, othr, t
 
 
 def _make_shaded_path_kernel(leaf: int, num_supers: int, rt_count: int,

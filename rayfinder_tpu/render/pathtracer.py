@@ -1083,6 +1083,7 @@ def _accumulate_regen_fused(
     budgeted by tests/test_pallas_regen.py.
     """
     from ..ops.pallas_regen import pallas_trace_regen
+    from ..ops.pallas_walk import _grouped_mode
 
     if _regen_sort_enabled(scene):
         return _accumulate_regen_fused_sorted(
@@ -1091,6 +1092,16 @@ def _accumulate_regen_fused(
             inv_dims=inv_dims, noise_of=noise_of, primary=primary,
             num_bounces=num_bounces, spp=spp, num_frames=num_frames,
             compact_floor=compact_floor, count_rays=count_rays,
+        )
+
+    segs = int(os.environ.get("RAYFINDER_SEGS", "1"))
+    if segs > 1 and not _grouped_mode(scene.cluster_tris.shape[0]):
+        return _accumulate_regen_fused_segs(
+            scene, sky, camera, frame_base, accum,
+            u=u, v_tex=v_tex, noise_base_full=noise_base_full,
+            inv_dims=inv_dims, noise_of=noise_of, primary=primary,
+            num_bounces=num_bounces, spp=spp, num_frames=num_frames,
+            compact_floor=compact_floor, count_rays=count_rays, segs=segs,
         )
 
     # The opt-in in-kernel-shaded engine flushes whole paths on-chip, so the
@@ -1222,6 +1233,158 @@ def _accumulate_regen_fused(
 
     state = jax.lax.while_loop(any_left, body, state)
     lrad = state[7]
+    out = lrad if pix is None else lrad_full.at[pix].add(lrad, mode="drop")
+    if count_rays:
+        return out, _counts_to_rays(state[-1], batch * num_frames, num_bounces)
+    return out
+
+
+def _accumulate_regen_fused_segs(
+    scene, sky, camera, frame_base, accum, *,
+    u, v_tex, noise_base_full, inv_dims, noise_of, primary,
+    num_bounces, spp, num_frames, compact_floor, count_rays=False, segs=2,
+):
+    """Multi-hit-segment fused loop (VERDICT r4 #2, RAYFINDER_SEGS=K,
+    flat-sweep scenes): each lane pipelines K independent paths of its
+    pixel through the K-slot kernel (ops/pallas_regen._make_path_kernel_segs),
+    so each outer iteration shades K hit segments per lane and the
+    iteration count drops ~K-fold, with the kernel harvesting straggler
+    idle time by tracing fresh samples on early-parked lanes. Per-sample
+    radiance is bit-identical to the single-slot loop; only the f32 add
+    order into each lane's accumulator changes (budgeted regrouping)."""
+    from ..ops.pallas_regen import pallas_trace_regen_segs
+
+    batch = u.shape[0]
+    nf = jnp.int32(num_frames)
+    spp_dyn = jnp.int32(spp)
+    sun_dir = jnp.asarray(sky.sun_direction)
+    solar_radiance = jnp.asarray(sky.solar_radiances)
+    park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
+
+    def make_body(u, v_tex, noise_base, tile_override=None):
+        def body(st):
+            (busy, sal, scnt, sray, sthr, snee, lrad) = st[:7]
+            sal, lrad, ocnt, oray, othr, _t = pallas_trace_regen_segs(
+                scene, camera, sky, u, v_tex, noise_base, inv_dims,
+                frame_base, spp_dyn, nf, T_MAX,
+                sal, lrad, scnt, sray, sthr, snee,
+                tile_override=tile_override, segs=segs,
+            )
+            cnt_cols, ray_cols, thr_cols, nee_cols = [], [], [], []
+            hits = depth = jnp.int32(0)
+            for j in range(segs):
+                ssample = ocnt[:, 3 * j]
+                bounce = ocnt[:, 3 * j + 1]
+                tri = ocnt[:, 3 * j + 2]
+                o = oray[:, 6 * j:6 * j + 3]
+                d = oray[:, 6 * j + 3:6 * j + 6]
+                thr = othr[:, 6 * j:6 * j + 3]
+                srad = othr[:, 6 * j + 3:6 * j + 6]
+                live = ssample < nf
+                noise = noise_of(noise_base, ssample)
+                (flag, o, d, thr, bounce, sh_o, sh_d, contrib
+                 ) = _nee_and_continuation(
+                    scene, noise, o, d, tri, thr, bounce, live,
+                    sun_dir, solar_radiance, park, num_bounces,
+                )
+                cnt_cols += [ssample, bounce, flag]
+                ray_cols += [o, d]
+                thr_cols += [thr, srad]
+                nee_cols += [sh_o, sh_d, contrib]
+                if count_rays:
+                    hits = hits + jnp.sum((flag > 0).astype(jnp.int32))
+                    depth = depth + jnp.sum((flag == 2).astype(jnp.int32))
+            scnt = jnp.stack(cnt_cols, axis=1)
+            sray = jnp.concatenate(ray_cols, axis=1)
+            sthr = jnp.concatenate(thr_cols, axis=1)
+            snee = jnp.concatenate(nee_cols, axis=1)
+            busy = scnt[:, 0]
+            for j in range(1, segs):
+                busy = jnp.minimum(busy, scnt[:, 3 * j])
+            out = (busy, sal, scnt, sray, sthr, snee, lrad)
+            if count_rays:
+                out = out + (st[7] + jnp.stack([hits, depth]),)
+            return out
+
+        return body
+
+    # Initial slots: samples 0..K-1 per lane (slot j dead when j >= nf).
+    cnt_cols, ray_cols = [], []
+    for j in range(segs):
+        ssample0 = jnp.full((batch,), j, jnp.int32)
+        noise0 = noise_of(noise_base_full, ssample0)
+        o0, d0 = primary(u, v_tex, noise0)
+        cnt_cols += [ssample0, jnp.ones((batch,), jnp.int32),
+                     jnp.zeros((batch,), jnp.int32)]
+        ray_cols += [o0, d0]
+    z3 = jnp.zeros((batch, 3), jnp.float32)
+    ones3 = jnp.ones((batch, 3), jnp.float32)
+    scnt0 = jnp.stack(cnt_cols, axis=1)
+    sray0 = jnp.concatenate(ray_cols, axis=1)
+    sthr0 = jnp.concatenate([x for _ in range(segs) for x in (ones3, z3)],
+                            axis=1)
+    snee0 = jnp.concatenate(
+        [x for _ in range(segs)
+         for x in (jnp.broadcast_to(park, (batch, 3)),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                                    (batch, 3)), z3)],
+        axis=1)
+    state = (
+        jnp.zeros((batch,), jnp.int32),
+        jnp.full((batch,), segs, jnp.int32),
+        scnt0, sray0, sthr0, snee0, accum,
+    )
+    small_scene = scene.cluster_tris.shape[0] <= SORT_THRESHOLD
+    ft = _FULL_TILE
+    full_tiles = (ft, 4096 // ft) if (small_scene and batch >= 4096) else None
+    body = make_body(u, v_tex, noise_base_full, tile_override=full_tiles)
+    if count_rays:
+        state = state + (jnp.zeros((2,), jnp.int32),)
+
+    floor = _COMPACT_FLOOR if compact_floor is None else compact_floor
+    lrad_full = None
+    cur_u, cur_v, cur_nb, pix = u, v_tex, noise_base_full, None
+    for size in _phase_sizes(batch, floor)[1:]:
+        def above(st, size=size):
+            return jnp.sum((st[0] < nf).astype(jnp.int32)) > jnp.int32(size)
+
+        state = jax.lax.while_loop(above, body, state)
+
+        if count_rays:
+            *state, cnt = state
+        (busy, sal, scnt, sray, sthr, snee, lrad) = state
+        if pix is None:
+            lrad_full = lrad
+        else:
+            lrad_full = lrad_full.at[pix].add(lrad, mode="drop")
+        busy_mask = busy < nf
+        idx = jnp.nonzero(busy_mask, size=size, fill_value=0)[0].astype(jnp.int32)
+        valid = jnp.arange(size, dtype=jnp.int32) < jnp.sum(
+            busy_mask.astype(jnp.int32))
+        ints = [sal, scnt] + ([pix] if pix is not None else [])
+        ((sray, sthr, snee, cur_u, cur_v, cur_nb), taken_i) = _take_packed(
+            idx, [sray, sthr, snee, cur_u, cur_v, cur_nb], ints)
+        sal, scnt = taken_i[0], taken_i[1]
+        sal = jnp.where(valid, sal, nf)
+        for j in range(segs):
+            scnt = scnt.at[:, 3 * j].set(
+                jnp.where(valid, scnt[:, 3 * j], nf))
+        busy = scnt[:, 0]
+        for j in range(1, segs):
+            busy = jnp.minimum(busy, scnt[:, 3 * j])
+        pix = taken_i[2] if pix is not None else idx
+        pix = jnp.where(valid, pix, jnp.int32(batch))
+        state = (busy, sal, scnt, sray, sthr, snee,
+                 jnp.zeros((size, 3), jnp.float32))
+        body = make_body(cur_u, cur_v, cur_nb)
+        if count_rays:
+            state = state + (cnt,)
+
+    def any_left(st):
+        return jnp.any(st[0] < nf)
+
+    state = jax.lax.while_loop(any_left, body, state)
+    lrad = state[6]
     out = lrad if pix is None else lrad_full.at[pix].add(lrad, mode="drop")
     if count_rays:
         return out, _counts_to_rays(state[-1], batch * num_frames, num_bounces)

@@ -265,3 +265,33 @@ def test_inkernel_shade_matches_split(duck_device_scene, monkeypatch):
     ))
     np.testing.assert_allclose(inker, split, rtol=1e-4, atol=2e-3)
     np.testing.assert_allclose(hybrid, split, rtol=1e-4, atol=2e-3)
+
+
+def test_fused_regen_segs_matches_wavefront(duck_device_scene, monkeypatch):
+    """RAYFINDER_SEGS=K (multi-hit-segment kernel): per-sample radiance is
+    bit-identical to the single-slot loop (the noise stream depends only on
+    the sample index); only the f32 add order into lane accumulators
+    regroups — same rtol budget as the fused/wavefront agreement. Exact ray
+    counters must be preserved."""
+    w, h, spp, nb = 64, 48, 4, 3
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.3, 2.5, 70.0, w / h)
+    sky = sky_state_from_ui(1.0, (1.0, 1.0, 1.0), 30.0, 0.0)
+    tile = jnp.asarray(blue_noise_tile())
+    kw = dict(width=w, height=h, num_bounces=nb, spp=spp, num_frames=spp)
+
+    wave, wave_rays = accumulate_samples_regen(
+        duck_device_scene, sky, cam, tile, jnp.int32(0),
+        jnp.zeros((w * h, 3), jnp.float32), engine="wavefront",
+        count_rays=True, **kw,
+    )
+    for k, floor in ((2, None), (3, 128)):
+        monkeypatch.setenv("RAYFINDER_SEGS", str(k))
+        fused, rays = accumulate_samples_regen(
+            duck_device_scene, sky, cam, tile, jnp.int32(0),
+            jnp.zeros((w * h, 3), jnp.float32), engine="pallas",
+            count_rays=True, compact_floor=floor, **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(wave), rtol=2e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(rays), np.asarray(wave_rays))
