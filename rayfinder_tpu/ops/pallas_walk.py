@@ -282,127 +282,6 @@ _SUBBOX = int(os.environ.get("RAYFINDER_SUBBOX", "1"))
 _PREBUILT_MAX_BYTES = int(
     os.environ.get("RAYFINDER_PREBUILT_MAX_BYTES", str(6 * 1024 * 1024))
 )
-# Monotone packed-key per-lane selection for the grouped sweeps (K == 1,
-# _SUB == 1, _GROUP_K == 1): the slab entries are bitcast to sortable int32
-# keys with the row index packed into the low mantissa bits, so each
-# iteration's selection is ONE masked int-min over the static key table —
-# no argmin pass, no VMEM erase write-back. Erasure is replaced by the
-# per-lane monotonicity of the selected key: every key is distinct (index
-# tie-break), keys are selected in increasing order, and a row whose key is
-# <= the last selected was either tested or bound-excluded (bounds only
-# shrink), so `key > last` excludes exactly the consumed rows. The key
-# quantization (low bits cleared) only perturbs the per-lane test order
-# within a 2^bits-ulp bucket and admits a few rows slightly past the bound:
-# accepts stay exact because every Möller-Trumbore test is bound-guarded
-# and the mask is conservative (entry < bound => packed < bound_key).
-_MONOSEL_MODE = os.environ.get("RAYFINDER_MONOSEL", "0")
-_MONOSEL = _MONOSEL_MODE in ("1", "2")
-# Mode 2: keys live as BIAS-shifted f32 (still ordered like the packed int
-# keys) so every selection compare/min is a native VPU float op — measured
-# on v5e the int32 masked-min path (mode 1) lowers ~5-10% slower than the
-# f32 masked-min+argmin it replaced. The +2^23 bias keeps zero-entry keys
-# normal (TPU flushes subnormals); entries are clamped to 1e30 so no key
-# reaches the inf/NaN bit range.
-_MONO_F32 = _MONOSEL_MODE == "2"
-_IMAX = np.int32(0x7FFFFFFF)
-_KEY_BIAS = np.int32(1 << 23)
-
-
-class _KeyCodec:
-    """Monotone packed-key codec (see _MONOSEL): row index in the low
-    `bits` bits, optional ray index k in a high field (kbits > 0, K <= 8),
-    entry bits quantized in between. mode f32 shifts the int key by
-    _KEY_BIAS and bitcasts, so compares and mins run as ordinary positive
-    floats; masked-out lanes carry +inf (int mode: _IMAX)."""
-
-    def __init__(self, bits: int, kbits: int, f32: bool):
-        self.bits, self.kbits, self.f32 = bits, kbits, f32
-        self.rowmask = np.int32((1 << bits) - 1)
-        # k field low bit: 28 keeps every f32 key below the inf/NaN range
-        # after the bias; the entry field is whatever sits between.
-        self.kshift = 28 if kbits else 0
-        self.drop = (31 - (self.kshift - bits)) if kbits else bits
-
-    def pack(self, e, k: int):
-        if self.kbits == 0 and not self.f32:
-            return _pack_entry_keys(e, self.bits)
-        row_io = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
-        if self.f32:
-            finite = jnp.isfinite(e)
-            e = jnp.minimum(e, jnp.float32(1e30))  # keys stay finite
-        eb = jax.lax.bitcast_convert_type(e, jnp.int32)
-        quant = jnp.left_shift(jnp.right_shift(eb, self.drop),
-                               self.bits)
-        key = jnp.bitwise_or(quant, row_io)
-        if self.kbits:
-            key = jnp.bitwise_or(key, np.int32(k << self.kshift))
-        if self.f32:
-            # Failed-slab (+inf) entries must be unselectable, not merely
-            # late: clamping them into the key range would put them below
-            # any >=1e30 bound and degenerate the monotone sweep to
-            # testing every row.
-            return jnp.where(
-                finite,
-                jax.lax.bitcast_convert_type(key + _KEY_BIAS, jnp.float32),
-                jnp.float32(jnp.inf),
-            )
-        return key
-
-    def bound(self, bt, k: int):
-        if self.kbits == 0 and not self.f32:
-            return _bound_keys(bt, self.bits)
-        # A +inf (or >~2.6e36) bound would overflow key+_KEY_BIAS past
-        # 0x7F800000 into the sign bit in f32 mode (bound bitcasts
-        # negative -> excludes every key). Clamp like pack() does;
-        # -inf (parked) passes through to the bt<0 guard below.
-        bt = jnp.minimum(bt, jnp.float32(1e30))
-        bb = jax.lax.bitcast_convert_type(bt, jnp.int32)
-        quant = jnp.left_shift(jnp.right_shift(bb, self.drop), self.bits)
-        key = quant + jnp.int32(1 << self.bits)
-        if self.kbits:
-            key = jnp.bitwise_or(quant, np.int32(k << self.kshift)) \
-                + jnp.int32(1 << self.bits)
-        if self.f32:
-            # Negative bounds (-inf = parked) must exclude every key;
-            # express that directly instead of relying on wrapped bits.
-            return jnp.where(
-                bt < 0.0, jnp.float32(-1.0),
-                jax.lax.bitcast_convert_type(key + _KEY_BIAS, jnp.float32),
-            )
-        return key
-
-    def masked(self):
-        return jnp.float32(jnp.inf) if self.f32 else _IMAX
-
-    def store(self, ref, key):
-        ref[:, :] = key if self.f32 else jax.lax.bitcast_convert_type(
-            key, jnp.float32)
-
-    def load(self, ref):
-        v = ref[:, :]
-        return v if self.f32 else jax.lax.bitcast_convert_type(v, jnp.int32)
-
-    def row(self, m):
-        mb = jax.lax.bitcast_convert_type(m, jnp.int32) if self.f32 else m
-        return jnp.bitwise_and(mb, self.rowmask)
-
-    def act(self, m):
-        mb = jax.lax.bitcast_convert_type(m, jnp.int32) if self.f32 else m
-        return jnp.bitwise_and(
-            jnp.right_shift(mb, self.kshift),
-            np.int32((1 << self.kbits) - 1),
-        )
-
-    def last0(self, tile: int):
-        if self.f32:
-            return jnp.full((tile,), -1.0, jnp.float32)
-        return jnp.full((tile,), -1, jnp.int32)
-
-    def more(self, key_scalar):
-        """while-cond: any lane still has a selectable row."""
-        if self.f32:
-            return key_scalar < jnp.float32(jnp.inf)
-        return key_scalar < _IMAX
 # Pipelined super selection in the grouped sweeps: select the NEXT super
 # (and the loop-exit key) from the bounds at VISIT START, before the
 # cluster phase runs, so the vector->scalar index extraction resolves
@@ -412,31 +291,6 @@ class _KeyCodec:
 # per tile, but never skips a needed super. Exactness unchanged (accepts
 # are bound-guarded at test time).
 _PIPE_SUPER = os.environ.get("RAYFINDER_PIPE_SUPER", "0") == "1"
-
-
-def _pack_entry_keys(e, bits: int):
-    """(rows, TILE) f32 slab entries (>= 0, or +inf where the slab test
-    fails) -> sortable int32 keys, row index in the low `bits` bits.
-    Non-negative f32 bit patterns order like the floats, so the int keys
-    order like (quantized entry, row index). K > 1 and f32 layouts live in
-    _KeyCodec."""
-    row_io = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
-    eb = jax.lax.bitcast_convert_type(e, jnp.int32)
-    mask = np.int32((1 << bits) - 1)
-    return jnp.bitwise_or(jnp.bitwise_and(eb, ~mask), row_io)
-
-
-def _bound_keys(bt, bits: int):
-    """Per-lane f32 bound -> packed-key-space exclusive upper bound.
-    entry < bt  =>  packed(entry) < bound_key(bt): packed <= entry_bits -
-    low + idx <= entry_bits + mask <= (bt_bits - 1) + mask < (bt_bits |
-    mask) + 1. A -inf bound (parked/occluded lane) bitcasts negative and
-    stays negative, excluding every (non-negative) packed entry. No
-    overflow: the largest finite bt gives (0x7F7FFFFF | mask) + 1 =
-    0x7F800000 + mask'."""
-    bb = jax.lax.bitcast_convert_type(bt, jnp.int32)
-    mask = np.int32((1 << bits) - 1)
-    return jnp.bitwise_or(bb, mask) + jnp.int32(1)
 
 
 def _use_prebuilt(num_supers: int, group: int, tile: int, kr: int) -> bool:
@@ -898,96 +752,7 @@ def _closest_tile_sweep_grouped(
     dzs = [r[5] for r in rays_k]
 
     use_act = K > 1 and _ACTSEL and cur_entry is not None
-    use_mono = _SUB == 1 and _GROUP_K == 1 and _MONOSEL
-
-    def cluster_phase_mono(s, bts, btris, finish=None):
-        """Monotone packed-key cluster phase (see _MONOSEL): the entry keys
-        stay static in registers; selection is one masked int-min; the
-        previously selected key doubles as the erase set. K > 1 prefixes
-        the ray index onto the keys, so the same min serves each lane's K
-        rays strictly in order (K-aggregation with no act bookkeeping)."""
-        kbits = max(0, int(K - 1).bit_length())
-        es = [
-            _slab_entry_rows(
-                cl_planes_ref[s, 0], cl_planes_ref[s, 1],
-                oxs[k], oys[k], ozs[k],
-                rays_k[k][6], rays_k[k][7], rays_k[k][8], bts[k],
-            )
-            for k in range(K)
-        ]
-        group_sel = es[0].shape[0]
-        bits = max(1, int(group_sel - 1).bit_length())
-        cod = _KeyCodec(bits, kbits, _MONO_F32)
-        # Park the packed keys in the entry scratch and re-read them per
-        # selection round: keeping them as while-captured register values
-        # puts 16*K registers live across the whole MT block
-        # (probe_prebuilt measured exactly this pattern losing big).
-        for k in range(K):
-            cod.store(cl_entries[k], cod.pack(es[k], k))
-        starts_rows = startf_ref[s]
-
-        def select(last, bts):
-            m = None
-            for k in range(K):
-                packed = cod.load(cl_entries[k])
-                bk = cod.bound(bts[k], k)
-                cand = jnp.where(
-                    (packed > last[None, :]) & (packed < bk[None, :]),
-                    packed, cod.masked(),
-                )
-                mk = jnp.min(cand, axis=0)
-                m = mk if m is None else jnp.minimum(m, mk)
-            return m
-
-        m0 = select(cod.last0(tile), bts)
-        if finish is not None:
-            finish()  # the builds/selection above never read tbufT
-
-        def g_cond(st):
-            return cod.more(st[-1])
-
-        def g_body(st):
-            bts = list(st[0:K])
-            btris = list(st[K:2 * K])
-            m = st[2 * K]
-            jb = cod.row(m)[None, :]
-            v = _gather_rows_T(tbufT, jb, range(9))
-            if K == 1:
-                ox, oy, oz = oxs[0], oys[0], ozs[0]
-                dx, dy, dz = dxs[0], dys[0], dzs[0]
-                bound = bts[0]
-            else:
-                act = cod.act(m)
-                ox = _sel_k(act, oxs)
-                oy = _sel_k(act, oys)
-                oz = _sel_k(act, ozs)
-                dx = _sel_k(act, dxs)
-                dy = _sel_k(act, dys)
-                dz = _sel_k(act, dzs)
-                bound = _sel_k(act, bts)
-            t_cand, slot = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bound)
-            start_lane = _gather_lanes(starts_rows, jb)[0]
-            tri = start_lane.astype(jnp.int32) + slot
-            if K == 1:
-                better = t_cand < bts[0]
-                bts = [jnp.where(better, t_cand, bts[0])]
-                btris = [jnp.where(better, tri, btris[0])]
-            else:
-                for k in range(K):
-                    better = (act == k) & (t_cand < bts[k])
-                    bts[k] = jnp.where(better, t_cand, bts[k])
-                    btris[k] = jnp.where(better, tri, btris[k])
-            m2 = select(m, bts)
-            return (*bts, *btris, m2, jnp.min(m2))
-
-        st = jax.lax.while_loop(
-            g_cond, g_body, (*bts, *btris, m0, jnp.min(m0))
-        )
-        return list(st[0:K]), list(st[K:2 * K])
-
     def cluster_phase(s, bts, btris, finish=None):
-        if use_mono:
-            return cluster_phase_mono(s, bts, btris, finish)
         for k in range(K):
             cl_entries[k][:, :] = _slab_entry_rows(
                 cl_planes_ref[s, 0], cl_planes_ref[s, 1],
@@ -1151,89 +916,7 @@ def _any_tile_sweep_grouped(
     occ0_k = [jnp.zeros((tile,), jnp.int32) for _ in range(K)]
 
     use_act = K > 1 and _ACTSEL and cur_entry is not None
-    use_mono = _SUB == 1 and _GROUP_K == 1 and _MONOSEL
-
-    def cluster_phase_mono(s, occs, finish=None):
-        """Monotone packed-key occlusion phase (see _MONOSEL); K > 1 as in
-        the closest phase (ray index prefixed onto the keys)."""
-        kbits = max(0, int(K - 1).bit_length())
-        es = [
-            _slab_entry_rows(
-                cl_planes_ref[s, 0], cl_planes_ref[s, 1],
-                oxs[k], oys[k], ozs[k],
-                rays_k[k][6], rays_k[k][7], rays_k[k][8],
-                pending_bound(occs[k], k),
-            )
-            for k in range(K)
-        ]
-        group_sel = es[0].shape[0]
-        bits = max(1, int(group_sel - 1).bit_length())
-        cod = _KeyCodec(bits, kbits, _MONO_F32)
-        # Packed keys ride the entry scratch, not while-captured registers
-        # (see the closest phase).
-        for k in range(K):
-            cod.store(cl_entries[k], cod.pack(es[k], k))
-
-        def select(last, occs):
-            m = None
-            for k in range(K):
-                packed = cod.load(cl_entries[k])
-                bk = cod.bound(pending_bound(occs[k], k), k)
-                cand = jnp.where(
-                    (packed > last[None, :]) & (packed < bk[None, :]),
-                    packed, cod.masked(),
-                )
-                mk = jnp.min(cand, axis=0)
-                m = mk if m is None else jnp.minimum(m, mk)
-            return m
-
-        m0 = select(cod.last0(tile), occs)
-        if finish is not None:
-            finish()
-
-        def g_cond(st):
-            return cod.more(st[-1])
-
-        def g_body(st):
-            occs = list(st[0:K])
-            m = st[K]
-            jb = cod.row(m)[None, :]
-            v = _gather_rows_T(tbufT, jb, range(9))
-            if K == 1:
-                ox, oy, oz = oxs[0], oys[0], ozs[0]
-                dx, dy, dz = dxs[0], dys[0], dzs[0]
-                bound = pending_bound(occs[0], 0)
-            else:
-                act = cod.act(m)
-                ox = _sel_k(act, oxs)
-                oy = _sel_k(act, oys)
-                oz = _sel_k(act, ozs)
-                dx = _sel_k(act, dxs)
-                dy = _sel_k(act, dys)
-                dz = _sel_k(act, dzs)
-                bound = _sel_k(
-                    act, [pending_bound(occs[k], k) for k in range(K)]
-                )
-            t_cand, _ = _mt_block_T(v, ox, oy, oz, dx, dy, dz, bound)
-            hit = jnp.isfinite(t_cand)
-            if K == 1:
-                occs = [jnp.where(hit, jnp.int32(1), occs[0])]
-            else:
-                for k in range(K):
-                    occs[k] = jnp.where(
-                        (act == k) & hit, jnp.int32(1), occs[k]
-                    )
-            m2 = select(m, occs)
-            return (*occs, m2, jnp.min(m2))
-
-        st = jax.lax.while_loop(
-            g_cond, g_body, (*occs, m0, jnp.min(m0))
-        )
-        return list(st[0:K])
-
     def cluster_phase(s, occs, finish=None):
-        if use_mono:
-            return cluster_phase_mono(s, occs, finish)
         for k in range(K):
             cl_entries[k][:, :] = _slab_entry_rows(
                 cl_planes_ref[s, 0], cl_planes_ref[s, 1],

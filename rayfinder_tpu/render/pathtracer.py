@@ -140,19 +140,6 @@ def get_engine(engine: str):
 
         return closest, any_hit
 
-    if engine == "clustermajor":
-        from .clustermajor import intersect_any_cm, intersect_closest_cm
-
-        def closest(s, o, d, tm):
-            hit, t, tri, _ = intersect_closest_cm(s, o, d, tm)
-            return hit, t, tri, None
-
-        def any_hit(s, o, d, tm):
-            occ, _ = intersect_any_cm(s, o, d, tm)
-            return occ
-
-        return closest, any_hit
-
     if engine == "pairs":
         from ..ops.pallas_pairs import (pairs_intersect_any,
                                         pairs_intersect_closest)
@@ -1427,27 +1414,20 @@ def _accumulate_regen_fused_sorted(
     park = jnp.asarray([1e30, 1e30, 1e30], jnp.float32)
     dead_key = jnp.int32(2**30)
 
-    # Sort-key mode "cull": order lanes by their CONTINUATION ray's nearest
-    # clusters (ops/pallas_keycull) instead of the previous hit tri —
-    # study_courtsort measured bounce tile-select iterations 56.5 -> 6.2 and
-    # super visits 18.7 -> 2.2 under that ordering. Costs: the key kernel
-    # per iteration plus a wider permute (the sort must run AFTER the shade,
-    # so sh_*/contrib/flag ride it: 23 -> 32 gathered columns).
     # Default "dir" measured on TPU (textured courtyard bench): 3.500/3.505/
-    # 3.509 vs tri 3.443/3.447/3.326 (2026-08-21). "cull" (keycull kernel)
-    # measured 2.378 — keep for reference only.
+    # 3.509 vs tri 3.443/3.447/3.326 (2026-08-21). A third mode — "cull",
+    # sorting by a keycull kernel's approximate nearest-entered-group key —
+    # was REMOVED after measuring 2.378: the group-entry approximation is
+    # provably degenerate in enclosed scenes (every containing box's entry
+    # clamps to 0 so the key carries no information; prof/probe_cull.py,
+    # CLAUDE.md session 13), and every cheap exact-key approximation also
+    # failed offline. Git history (e7e52f0) has the implementation.
     sort_key_mode = os.environ.get("RAYFINDER_SORT_KEY", "dir")
-    if sort_key_mode not in ("tri", "dir", "cull"):
+    if sort_key_mode not in ("tri", "dir"):
         # A typo'd mode silently falling back to "tri" would invalidate
         # A/B measurements (ADVICE r4).
         raise ValueError(
-            f"RAYFINDER_SORT_KEY={sort_key_mode!r}: expected tri|dir|cull")
-    cull_key = sort_key_mode in ("cull", "dir")
-    if sort_key_mode == "cull":
-        from ..ops.pallas_keycull import (keycull_tables, pallas_nearest2,
-                                          sort_key_from_keys)
-
-        kc_tables = keycull_tables(scene)
+            f"RAYFINDER_SORT_KEY={sort_key_mode!r}: expected tri|dir")
 
     def _dir_bin_key(tri, direction, pix, live):
         """Free arithmetic sort key: previous hit cluster x 96 direction
@@ -1499,7 +1479,7 @@ def _accumulate_regen_fused_sorted(
             jnp.where(real_cl[cids], cl_map, num_tris)
         ].set(cids, mode="drop")
 
-    def make_body_cull(tile_override=None):
+    def make_body_dir(tile_override=None):
         def body(st):
             (sample, bounce, flag, origin, direction, thr, srad, lrad,
              sh_o, sh_d, contrib, uu, vv, nb, pix) = st
@@ -1518,14 +1498,8 @@ def _accumulate_regen_fused_sorted(
                 scene, noise, origin, direction, tri, thr, bounce, live,
                 sun_dir, solar_radiance, park, num_bounces,
             )
-            if sort_key_mode == "dir":
-                key = _dir_bin_key(tri, direction, pix, live)
-                order = jnp.argsort(key, stable=True)
-            else:
-                keys2 = pallas_nearest2(kc_tables, origin, direction)
-                key = sort_key_from_keys(keys2)
-                order = jnp.argsort(
-                    jnp.where(live, key, dead_key), stable=True)
+            key = _dir_bin_key(tri, direction, pix, live)
+            order = jnp.argsort(key, stable=True)
             # Floats ride one packed gather; ints their own (same indices —
             # XLA fuses them; bitcasting ints through f32 flushes denormals
             # at this scale, CLAUDE.md).
@@ -1648,7 +1622,8 @@ def _accumulate_regen_fused_sorted(
 
         return body
 
-    make_body_sorted = make_body_cull if cull_key else make_body_tri
+    make_body_sorted = (make_body_dir if sort_key_mode == "dir"
+                        else make_body_tri)
     sort_every = max(int(os.environ.get("RAYFINDER_SORT_EVERY", "1")), 1)
 
     def make_body(tile_override=None):

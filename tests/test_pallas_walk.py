@@ -166,41 +166,7 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
     np.testing.assert_array_equal(trim, trig)
     np.testing.assert_allclose(tm, tg, rtol=0, atol=0)
 
-    # Monotone packed-key selection (_MONOSEL): erase-free per-lane
-    # selection over bitcast int keys; must equal the default grouped path
-    # exactly on the multi-super scene (at K = 1 and K-aggregated KRAYS=4,
-    # where the ray index rides the key prefix) and the single-super fast
-    # path.
-    monkeypatch.setattr(pw, "KRAYS", 1)
-    monkeypatch.setattr(pw, "_ACTSEL", True)
-    monkeypatch.setattr(pw, "_MONOSEL", True)
-    tv, triv, occv = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
-    np.testing.assert_array_equal(occv, occg)
-    np.testing.assert_array_equal(triv, trig)
-    np.testing.assert_allclose(tv, tg, rtol=0, atol=0)
-    monkeypatch.setattr(pw, "KRAYS", 4)
-    tv, triv, occv = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
-    np.testing.assert_array_equal(occv, occg)
-    np.testing.assert_array_equal(triv, trig)
-    np.testing.assert_allclose(tv, tg, rtol=0, atol=0)
-    monkeypatch.setattr(pw, "KRAYS", 1)
-    td, trid, occd = run(duck_device_scene, o, d, "1")
     tf0, trif0, occf0 = run(duck_device_scene, o, d, "0")
-    np.testing.assert_array_equal(occd, occf0)
-    np.testing.assert_array_equal(trid, trif0)
-    np.testing.assert_allclose(td, tf0, rtol=0, atol=0)
-
-    # f32-key mode (_MONO_F32): bias-shifted float keys, same semantics.
-    monkeypatch.setattr(pw, "_MONO_F32", True)
-    for kr in (1, 4):
-        monkeypatch.setattr(pw, "KRAYS", kr)
-        tv, triv, occv = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
-        np.testing.assert_array_equal(occv, occg)
-        np.testing.assert_array_equal(triv, trig)
-        np.testing.assert_allclose(tv, tg, rtol=0, atol=0)
-    monkeypatch.setattr(pw, "KRAYS", 1)
-    monkeypatch.setattr(pw, "_MONO_F32", False)
-    monkeypatch.setattr(pw, "_MONOSEL", False)
 
     # Tile-level skip guards (_ROOT_SKIP): the root-AABB pre-reject and the
     # pending-bound occlusion guard must not change any result (they skip
@@ -234,12 +200,6 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
     np.testing.assert_array_equal(occp_, occg)
     np.testing.assert_array_equal(trip_, trig)
     np.testing.assert_allclose(tp_, tg, rtol=0, atol=0)
-    monkeypatch.setattr(pw, "_MONOSEL", True)
-    tp_, trip_, occp_ = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
-    np.testing.assert_array_equal(occp_, occg)
-    np.testing.assert_array_equal(trip_, trig)
-    np.testing.assert_allclose(tp_, tg, rtol=0, atol=0)
-    monkeypatch.setattr(pw, "_MONOSEL", False)
     monkeypatch.setattr(pw, "_PIPE_SUPER", False)
 
 

@@ -1,7 +1,6 @@
-"""RAYFINDER_SORT_KEY=cull/dir: the alternative-key sorted fused loops (sort
-after the shade — by the continuation ray's nearest clusters for "cull", by
-hit-cluster x direction bin for "dir") must reproduce the wavefront regen
-result like the tri-key sorted loop does."""
+"""RAYFINDER_SORT_KEY=dir (hit-cluster x direction-bin sort key) and the
+SORT_EVERY composite bodies must reproduce the wavefront regen result like
+the tri-key sorted loop does."""
 
 import pytest
 
@@ -17,7 +16,7 @@ from rayfinder_tpu.sky.model import sky_state_from_ui
 
 
 @pytest.mark.parametrize(
-    "mode,sort_every", [("cull", 1), ("dir", 1), ("dir", 2), ("dir", 3)]
+    "mode,sort_every", [("tri", 1), ("dir", 1), ("dir", 2), ("dir", 3)]
 )
 def test_alt_key_sorted_matches_wavefront(monkeypatch, mode, sort_every):
     monkeypatch.setenv("RAYFINDER_REGEN_SORT", "1")
