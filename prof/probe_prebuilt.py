@@ -166,3 +166,90 @@ run(f"agg only {S} min-reduces", k_agg_only, [cl_all, agg])
 run("global select (S*G rows)", k_global_select, [cl_all])
 run("agg select (S rows)", k_agg_select, [agg])
 run("static slice copy", k_static_slice, [cl_all, cl_entry])
+
+
+def k_fori_guarded(mins_ref, maxs_ref, rays_ref, out_ref, cl_all, agg):
+    """The round-5 production _prebuild_entries form: fat seed into agg,
+    then a fori_loop with a per-super pl.when(finite) guard around the
+    build + fused agg (dynamic-index loads/stores)."""
+    ox, oy, oz, dx, dy, dz, ix, iy, iz = regs(rays_ref)
+    bound = jnp.full((TILE,), 1e4, jnp.float32)
+    # data-dependent, ~always-finite seed (stands in for the fat fold)
+    agg[:, :] = jnp.zeros((S, TILE)) + jnp.abs(mins_ref[0, 0:1])[None, :] * 0
+
+    def body(s, _):
+        @pl.when(jnp.isfinite(jnp.min(agg[s, :])))
+        def _():
+            e = _slab_entry_rows(
+                mins_ref[:, pl.ds(pl.multiple_of(s * G, G), G)],
+                maxs_ref[:, pl.ds(pl.multiple_of(s * G, G), G)],
+                ox, oy, oz, ix, iy, iz, bound)
+            off = pl.multiple_of(s * G, G)
+            cl_all[pl.ds(off, G), :] = e
+            agg[s, :] = jnp.min(e, axis=0)
+
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+    out_ref[:, :] = (cl_all[0:8, :]
+                     + jnp.min(agg[:, :], axis=0)[None, :])
+
+
+def k_fori_plain(mins_ref, maxs_ref, rays_ref, out_ref, cl_all, agg):
+    """fori build+agg with no guard."""
+    ox, oy, oz, dx, dy, dz, ix, iy, iz = regs(rays_ref)
+    bound = jnp.full((TILE,), 1e4, jnp.float32)
+
+    def body(s, _):
+        e = _slab_entry_rows(
+            mins_ref[:, pl.ds(pl.multiple_of(s * G, G), G)],
+            maxs_ref[:, pl.ds(pl.multiple_of(s * G, G), G)],
+            ox, oy, oz, ix, iy, iz, bound)
+        off = pl.multiple_of(s * G, G)
+        cl_all[pl.ds(off, G), :] = e
+        agg[s, :] = jnp.min(e, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+    out_ref[:, :] = (cl_all[0:8, :]
+                     + jnp.min(agg[:, :], axis=0)[None, :])
+
+
+def make_chunk(C):
+    def k_chunk(mins_ref, maxs_ref, rays_ref, out_ref, cl_all, agg3):
+        """fori over S//C chunks, static C-super unroll inside: restores
+        intra-chunk pipelining while bounding liveness to C blocks. The
+        per-super minima ride a (S//C, C, TILE) layout so each chunk's
+        aggregate stores with a traced LEADING index (sublane-dim dynamic
+        stores have (8,128) alignment hazards)."""
+        ox, oy, oz, dx, dy, dz, ix, iy, iz = regs(rays_ref)
+        bound = jnp.full((TILE,), 1e4, jnp.float32)
+
+        def body(c, _):
+            base = pl.multiple_of(c * (C * G), C * G)
+            mins = []
+            for k in range(C):
+                off = base + k * G
+                e = _slab_entry_rows(
+                    mins_ref[:, pl.ds(off, G)],
+                    maxs_ref[:, pl.ds(off, G)],
+                    ox, oy, oz, ix, iy, iz, bound)
+                cl_all[pl.ds(off, G), :] = e
+                mins.append(jnp.min(e, axis=0))
+            agg3[c, :, :] = jnp.stack(mins, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, S // C, body, 0)
+        out_ref[:, :] = (cl_all[0:8, :]
+                         + jnp.min(jnp.min(agg3[:, :, :], axis=0),
+                                   axis=0)[None, :])
+
+    return k_chunk
+
+
+run("fori guarded (production)", k_fori_guarded, [cl_all, agg])
+run("fori plain", k_fori_plain, [cl_all, agg])
+for C in (4, 8, 12):
+    if S % C == 0:
+        agg3 = pltpu.VMEM((S // C, C, TILE), jnp.float32)
+        run(f"chunked fori C={C}", make_chunk(C), [cl_all, agg3])
