@@ -174,8 +174,10 @@ def k_fori_guarded(mins_ref, maxs_ref, rays_ref, out_ref, cl_all, agg):
     build + fused agg (dynamic-index loads/stores)."""
     ox, oy, oz, dx, dy, dz, ix, iy, iz = regs(rays_ref)
     bound = jnp.full((TILE,), 1e4, jnp.float32)
-    # data-dependent, ~always-finite seed (stands in for the fat fold)
-    agg[:, :] = jnp.zeros((S, TILE)) + jnp.abs(mins_ref[0, 0:1])[None, :] * 0
+    # data-dependent, ~always-finite seed (stands in for the fat fold);
+    # NOTE a (1,1)->(S,TILE) broadcast is unsupported in Mosaic ("Broadcast
+    # in both sublanes and lanes") — broadcast a full lane row instead.
+    agg[:, :] = jnp.zeros((S, TILE)) + jnp.abs(mins_ref[0, 0:TILE])[None, :] * 0
 
     def body(s, _):
         @pl.when(jnp.isfinite(jnp.min(agg[s, :])))

@@ -291,6 +291,16 @@ _PREBUILT_MAX_BYTES = int(
 # per tile, but never skips a needed super. Exactness unchanged (accepts
 # are bound-guarded at test time).
 _PIPE_SUPER = os.environ.get("RAYFINDER_PIPE_SUPER", "0") == "1"
+# Sync-free prefix rounds for the grouped cluster phases (the grouped
+# analog of _SWEEP_PREFIX): run P gather+MT rounds unconditionally before
+# the while_loop, so the per-visit scalar key extraction (vector->scalar
+# sync, ~1-2us) resolves UNDER the first round's MT work instead of
+# gating it. Exact: every tested (lane, row) pair is bound-guarded, a
+# lane with no needed row tests row 0 under its own bound (accepts are
+# real intersections; erasing a tested row is safe because bounds only
+# shrink — the _next_rows2 argument). Average visits do 1.1-1.4 inner
+# rounds (diag_iters), so P=1 wastes almost nothing.
+_GPREFIX = int(os.environ.get("RAYFINDER_GPREFIX", "0"))
 
 
 def _use_prebuilt(num_supers: int, group: int, tile: int, kr: int) -> bool:
@@ -835,9 +845,10 @@ def _closest_tile_sweep_grouped(
                 jb, act, key = select(bts, act)
             return (*bts, *btris, jb, act, key)
 
-        st = jax.lax.while_loop(
-            g_cond, g_body, (*bts, *btris, jb0, act0, key0)
-        )
+        st = (*bts, *btris, jb0, act0, key0)
+        for _ in range(_GPREFIX):
+            st = g_body(st)
+        st = jax.lax.while_loop(g_cond, g_body, st)
         return list(st[0:K]), list(st[K:2 * K])
 
     if num_supers == 1:
@@ -996,7 +1007,10 @@ def _any_tile_sweep_grouped(
                 jb, act, key = select(occs, act)
             return (*occs, jb, act, key)
 
-        st = jax.lax.while_loop(g_cond, g_body, (*occs, jb0, act0, key0))
+        st = (*occs, jb0, act0, key0)
+        for _ in range(_GPREFIX):
+            st = g_body(st)
+        st = jax.lax.while_loop(g_cond, g_body, st)
         return list(st[0:K])
 
     if num_supers == 1:

@@ -231,3 +231,44 @@ def test_super_boxes_exclude_pad_clusters():
     fmax = np.asarray(fmax)  # (3, S)
     fin = np.isfinite(fmax).all(axis=0)
     assert np.abs(fmax[:, fin]).max() < 1e6
+
+
+def test_grouped_prefix_rounds(duck_device_scene, monkeypatch, rays):
+    """_GPREFIX unconditional first rounds must not change any result (all
+    tested pairs are bound-guarded; erasing a tested row is safe)."""
+    import numpy as np
+
+    from rayfinder_tpu.ops import pallas_walk as pw
+    from rayfinder_tpu.render.scene import build_device_scene
+    from rayfinder_tpu.scene.procedural import courtyard_scene
+
+    flat, textures = courtyard_scene(8)
+    multi = build_device_scene(flat, textures=textures)
+    rng = np.random.default_rng(11)
+    oc = rng.uniform([-18, 1, -8], [18, 10, 8], size=(128, 3)).astype(np.float32)
+    dc = rng.normal(size=(128, 3)).astype(np.float32)
+    dc /= np.linalg.norm(dc, axis=-1, keepdims=True)
+    t_max = jnp.float32(1e4)
+
+    def run(scene, o, d):
+        monkeypatch.setenv("RAYFINDER_GROUPED", "1")
+        (t_out, tri_out), n, _ = pw._common_call(
+            scene, o, d, t_max, pw._make_closest_kernel, (jnp.float32, jnp.int32)
+        )
+        (occ,), _, _ = pw._common_call(
+            scene, o, d, t_max, pw._make_any_kernel, (jnp.int32,)
+        )
+        return (
+            np.asarray(t_out).reshape(-1)[:n],
+            np.asarray(tri_out).reshape(-1)[:n],
+            np.asarray(occ).reshape(-1)[:n],
+        )
+
+    tg, trig, occg = run(multi, jnp.asarray(oc), jnp.asarray(dc))
+    for p in (1, 2):
+        monkeypatch.setattr(pw, "_GPREFIX", p)
+        tp, trip, occp = run(multi, jnp.asarray(oc), jnp.asarray(dc))
+        np.testing.assert_array_equal(occp, occg)
+        np.testing.assert_array_equal(trip, trig)
+        np.testing.assert_allclose(tp, tg, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "_GPREFIX", 0)
