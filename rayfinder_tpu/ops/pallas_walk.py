@@ -541,6 +541,9 @@ def _next_row_k(super_entries, bounds_k):
     return j, jnp.min(key)
 
 
+_PREBUILD_CHUNK = int(os.environ.get("RAYFINDER_PREBUILD_CHUNK", "8"))
+
+
 def _prebuild_entries(cl_planes_ref, rays, bound0, cl_all, super_agg,
                       num_supers: int, super_min_ref, super_max_ref):
     """Build every cluster's slab entry for one tile, writing the (S*G,
@@ -551,15 +554,18 @@ def _prebuild_entries(cl_planes_ref, rays, bound0, cl_all, super_agg,
     bound below the pass/fail cut and min-then-mask == mask-then-min for a
     per-lane bound.
 
-    The build is a fori_loop, NOT a static unroll: the unrolled form let
-    Mosaic software-pipeline all S iterations, keeping every super's
-    (G, TILE) entry block live across the per-super min reduces (+33us per
-    sweep, probe_prebuilt session 9); the serialized loop bounds liveness
-    to one block. Each super's build is gated on its cheap union-box
-    entry (super_agg is pre-seeded with the fat fold): a super whose union
-    box no lane enters under bound0 contains no enterable cluster, its agg
-    rows are already +inf, and its (never-read) cl_all block stays stale.
-    Fully dead / all-miss tiles skip the whole loop."""
+    The build is CHUNKED: a fori_loop over chunks of _PREBUILD_CHUNK
+    supers with a static unroll inside. A full static unroll let Mosaic
+    software-pipeline all S iterations, keeping every super's (G, TILE)
+    entry block live across the per-super min reduces (+33us per sweep,
+    probe_prebuilt session 9); a fully serialized per-super fori pays loop
+    overhead S times. The chunk restores intra-chunk pipelining while
+    bounding liveness to _PREBUILD_CHUNK blocks. Each chunk is gated on
+    its cheap union-box entries (super_agg is pre-seeded with the fat
+    fold): a super whose union box no lane enters under bound0 contains no
+    enterable cluster, its agg rows are already +inf, and its (never-read)
+    cl_all block stays stale. Fully dead / all-miss tiles skip the whole
+    loop."""
     ox, oy, oz, _, _, _, ix, iy, iz = rays
     g = cl_planes_ref.shape[-1]
     fat = _super_entry_fold(
@@ -567,22 +573,36 @@ def _prebuild_entries(cl_planes_ref, rays, bound0, cl_all, super_agg,
     )
     super_agg[:, :] = fat
 
-    def body(s, _):
-        @pl.when(jnp.isfinite(jnp.min(super_agg[s, :])))
+    def build_one(s, off):
+        e = _slab_entry_rows(
+            cl_planes_ref[s, 0], cl_planes_ref[s, 1],
+            ox, oy, oz, ix, iy, iz, bound0,
+        )
+        cl_all[pl.ds(off, g), :] = e
+        return jnp.min(e, axis=0)
+
+    chunk = _PREBUILD_CHUNK if num_supers % _PREBUILD_CHUNK == 0 else 1
+
+    def body(c, _):
+        abase = pl.multiple_of(c * chunk, chunk)
+
+        @pl.when(jnp.isfinite(jnp.min(super_agg[pl.ds(abase, chunk), :])))
         def _():
-            e = _slab_entry_rows(
-                cl_planes_ref[s, 0], cl_planes_ref[s, 1],
-                ox, oy, oz, ix, iy, iz, bound0,
-            )
-            off = pl.multiple_of(s * g, g)
-            cl_all[pl.ds(off, g), :] = e
-            super_agg[s, :] = jnp.min(e, axis=0)
+            mins = []
+            for k in range(chunk):
+                s = abase + k
+                off = pl.multiple_of(c * (chunk * g), chunk * g) + k * g
+                mins.append(build_one(s, off))
+            if chunk == 1:
+                super_agg[abase, :] = mins[0]
+            else:
+                super_agg[pl.ds(abase, chunk), :] = jnp.stack(mins, axis=0)
 
         return 0
 
     @pl.when(jnp.isfinite(jnp.min(fat)))
     def _():
-        jax.lax.fori_loop(0, num_supers, body, 0)
+        jax.lax.fori_loop(0, num_supers // chunk, body, 0)
 
 
 def _closest_tile_sweep_prebuilt(

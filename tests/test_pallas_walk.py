@@ -150,6 +150,14 @@ def test_pallas_grouped_matches_flat(duck_device_scene, rays, monkeypatch):
     np.testing.assert_array_equal(occv, occg)
     np.testing.assert_array_equal(triv, trig)
     np.testing.assert_allclose(tv, tg, rtol=0, atol=0)
+    # Chunked build path (chunk > 1: this scene's super count divides 3).
+    assert pw._scene_tables_grouped(multi)[0].shape[0] % 3 == 0
+    monkeypatch.setattr(pw, "_PREBUILD_CHUNK", 3)
+    tv, triv, occv = run(multi, jnp.asarray(oc), jnp.asarray(dc), "1")
+    np.testing.assert_array_equal(occv, occg)
+    np.testing.assert_array_equal(triv, trig)
+    np.testing.assert_allclose(tv, tg, rtol=0, atol=0)
+    monkeypatch.setattr(pw, "_PREBUILD_CHUNK", 8)
     monkeypatch.setattr(pw, "_PREBUILT", False)
 
     assert pw.KRAYS == 1, "default must be KRAYS=1 (round-2 judge bisect)"
