@@ -596,6 +596,16 @@ def _make_path_kernel_segs(leaf: int, num_supers: int, rt_count: int,
     the straggler tail. Reference analog: the megakernel never leaves the
     GPU between bounces (reference_path_tracer.wgsl:180-234).
 
+    MEASURED LOSS on TPU (v5e driver bench, 2026-08-21): SEGS=2 55.12 and
+    SEGS=4 54.18 vs baseline 57.99/56.96 Mrays/s — identical exact ray
+    counts and quality RMSE, so this is a clean A/B. The mechanism the
+    restructure targets barely exists: prof_p1body already measured the
+    per-dispatch loop glue at ~zero, the NEE+shade is row-bound (K slots
+    = K x rows, no amortization), and the harvestable straggler idle is
+    smaller than the K-way active-slot selects in every sweep round plus
+    the K per-dispatch NEE prologue sweeps. Kept opt-in as the committed
+    refutation of the round-4 ask.
+
     Slot state (per lane, per slot j): sample index, bounce, pending-NEE
     flag, ray, throughput, per-sample radiance. Shared per lane: the
     sample ALLOCATOR (next unassigned sample of the pixel), lane radiance,
