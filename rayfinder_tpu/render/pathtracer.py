@@ -117,8 +117,8 @@ def get_engine(engine: str):
     if engine in ("pallas", "pallas_split"):
         # "pallas_split" = identical kernels through the UNFUSED regen loop
         # (accumulate_lanes_regen's callback path instead of the persistent
-        # fused kernel) — the A/B baseline for engines that need the split
-        # loop (pairs traversal).
+        # fused kernel) — the A/B baseline for callback-loop engines
+        # (measured -28% vs fused on the courtyard).
         from ..ops.pallas_walk import pallas_intersect_any, pallas_intersect_closest
 
         def closest(s, o, d, tm):
@@ -136,20 +136,6 @@ def get_engine(engine: str):
 
         def any_hit(s, o, d, tm):
             occ, _ = intersect_any_wavefront(s, o, d, tm)
-            return occ
-
-        return closest, any_hit
-
-    if engine == "pairs":
-        from ..ops.pallas_pairs import (pairs_intersect_any,
-                                        pairs_intersect_closest)
-
-        def closest(s, o, d, tm):
-            hit, t, tri, _ = pairs_intersect_closest(s, o, d, tm)
-            return hit, t, tri, None
-
-        def any_hit(s, o, d, tm):
-            occ, _ = pairs_intersect_any(s, o, d, tm)
             return occ
 
         return closest, any_hit
