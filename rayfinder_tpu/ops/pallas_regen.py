@@ -190,10 +190,20 @@ def _noise_rows(sample, nb0, nb1, i):
 
 def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                       grouped: bool = False, pair: bool = False,
-                      prebuilt: bool = False):
+                      prebuilt: bool = False, budget: int = 0):
+    """budget > 0 (RAYFINDER_SWEEP_BUDGET, grouped kr==1 scenes with
+    2..30 supers): each closest sweep is capped at `budget` super visits.
+    Lanes with remaining enterable supers return unres=1 with a
+    (t, tri, done-super-bitmask) carry instead of a shaded hit; the XLA
+    loop re-sorts them (their own key band) and resumes them next
+    dispatch via flag==3 — so a divergent tile's straggler lanes stop
+    serializing their tile-mates and re-group into coherent
+    full-occupancy tiles. Exact: the bitmask makes super progress
+    monotone, the carried bound/candidate are valid partial results."""
     from .pallas_walk import _krays
 
     kr = _krays(grouped, rt_count)
+    assert budget == 0 or (grouped and kr == 1 and not pair and not prebuilt)
 
     def kernel(
         counters_ref, ray_ref, shade_ref, pix_ref, nee_ref,
@@ -231,7 +241,11 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
         # K-aggregation (kr > 1, grouped big scenes): each fori step owns
         # kr consecutive tile rows whose lanes share the traversal sweeps
         # (see pallas_walk.KRAYS); all per-row bookkeeping unrolls over k.
-        _L = 21  # per-row main-loop state tuple length
+        # budget > 0 appends 5 carry slots: res_bound, res_tri, res_done
+        # (consumed by the FIRST round's sweep, then reset) and the
+        # unres/done output accumulators. The continue-flag stays at 20.
+        _L = 26 if budget > 0 else 21
+        _FLAG = 20
 
         def load_row(rt):
             """One tile row's lane state + derived NEE shadow quantities.
@@ -251,12 +265,19 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
             r["u"], r["v"] = pix_ref[rt, 0, :], pix_ref[rt, 1, :]
             r["nb0"], r["nb1"] = pix_ref[rt, 2, :], pix_ref[rt, 3, :]
             r["live"] = r["sample"] < nf
+            if budget > 0:
+                # flag == 3: resume a budget-interrupted traversal with
+                # this carry (no pending NEE).
+                r["done"] = counters_ref[rt, 3, :]
+                r["tric"] = counters_ref[rt, 4, :]
+                r["tcar"] = pix_ref[rt, 4, :]
             # NEE shadow state: the PREVIOUS segment's light sample.
             sox, soy, soz = nee_ref[rt, 0, :], nee_ref[rt, 1, :], nee_ref[rt, 2, :]
             sdx, sdy, sdz = nee_ref[rt, 3, :], nee_ref[rt, 4, :], nee_ref[rt, 5, :]
             c0, c1, c2 = nee_ref[rt, 6, :], nee_ref[rt, 7, :], nee_ref[rt, 8, :]
             r["c"] = (c0, c1, c2)
-            r["has_nee"] = r["live"] & (r["flag"] > 0)
+            r["has_nee"] = r["live"] & (
+                (r["flag"] == 1) | (r["flag"] == 2))
             nonzero_c = (c0 != 0.0) | (c1 != 0.0) | (c2 != 0.0)
             r["shadow_bound"] = jnp.where(
                 r["has_nee"] & nonzero_c, t_max, neg_inf
@@ -273,13 +294,14 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
             u_row, v_row = row["u"], row["v"]
             nb0, nb1 = row["nb0"], row["nb1"]
 
-            def process_trace(st, bt, btri):
+            def process_trace(st, bt, btri, done=None, unres=None):
                 """Fold one trace's results: stop hit lanes for shading;
                 for misses accumulate throughput x sky, finish the sample,
-                regenerate the pixel's next primary in-register."""
+                regenerate the pixel's next primary in-register. budget > 0
+                also parks budget-interrupted lanes with their carry."""
                 (sample, bounce, ox, oy, oz, dx, dy, dz,
                  t0, t1, t2, s0, s1, s2, l0, l1, l2,
-                 tfin, trifin, stopped, _) = st
+                 tfin, trifin, stopped, _) = st[0:21]
 
                 inflight = (sample < nf) & (stopped == 0)
                 # Stale-cond flag: any lane inflight at round start. Pure
@@ -287,11 +309,22 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                 # reduce can resolve under the sweep that precedes this fold.
                 infl_pre = jnp.max(
                     jnp.where(inflight, 1, 0)).astype(jnp.int32)
-                hit = inflight & (btri >= 0)
-                tfin = jnp.where(hit, bt, tfin)
-                trifin = jnp.where(hit, btri, trifin)
-                stopped = jnp.where(hit, 1, stopped)
-                miss = inflight & (btri < 0)
+                if budget > 0:
+                    ufin, dfin = st[24], st[25]
+                    unr = inflight & (unres == 1)
+                    hit = inflight & (btri >= 0) & (unres == 0)
+                    miss = inflight & (btri < 0) & (unres == 0)
+                    tfin = jnp.where(hit | unr, bt, tfin)
+                    trifin = jnp.where(hit | unr, btri, trifin)
+                    stopped = jnp.where(hit | unr, 1, stopped)
+                    ufin = jnp.where(unr, 1, ufin)
+                    dfin = jnp.where(unr, done, dfin)
+                else:
+                    hit = inflight & (btri >= 0)
+                    tfin = jnp.where(hit, bt, tfin)
+                    trifin = jnp.where(hit, btri, trifin)
+                    stopped = jnp.where(hit, 1, stopped)
+                    miss = inflight & (btri < 0)
 
                 skyr, skyg, skyb = _sky_rows(dx, dy, dz, fscal)
                 s0 = jnp.where(miss, s0 + t0 * skyr, s0)
@@ -325,9 +358,20 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                     flag = infl_pre
                 else:
                     flag = jnp.max(jnp.where(regen, 1, 0)).astype(jnp.int32)
-                return (sample, bounce, ox, oy, oz, dx, dy, dz,
-                        t0, t1, t2, s0, s1, s2, l0, l1, l2,
-                        tfin, trifin, stopped, flag)
+                out = (sample, bounce, ox, oy, oz, dx, dy, dz,
+                       t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                       tfin, trifin, stopped, flag)
+                if budget > 0:
+                    # Reset the resume carry: it applies only to the first
+                    # round's sweep (regenerated lanes start fresh).
+                    lanes = sample.shape[0]
+                    out = out + (
+                        jnp.full((lanes,), jnp.float32(0.0)) + t_max,
+                        jnp.full((lanes,), -1, jnp.int32),
+                        jnp.zeros((lanes,), jnp.int32),
+                        ufin, dfin,
+                    )
+                return out
 
             return process_trace
 
@@ -374,12 +418,25 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
             t2 = jnp.where(regen0, one, t2)
             bounce = jnp.where(regen0, 1, bounce)
 
-            return (sample, bounce, ox, oy, oz, dx, dy, dz,
-                    t0, t1, t2, s0, s1, s2, l0, l1, l2,
-                    jnp.full((lanes,), t_max, jnp.float32),
-                    jnp.full((lanes,), -1, jnp.int32),
+            out = (sample, bounce, ox, oy, oz, dx, dy, dz,
+                   t0, t1, t2, s0, s1, s2, l0, l1, l2,
+                   jnp.full((lanes,), t_max, jnp.float32),
+                   jnp.full((lanes,), -1, jnp.int32),
+                   jnp.zeros((lanes,), jnp.int32),
+                   jnp.max(jnp.where(sample < nf, 1, 0)).astype(jnp.int32))
+            if budget > 0:
+                resume = live & (flag == 3)
+                out = out + (
+                    jnp.where(resume, row["tcar"],
+                              jnp.full((lanes,), jnp.float32(0.0)) + t_max),
+                    jnp.where(resume, row["tric"],
+                              jnp.full((lanes,), -1, jnp.int32)),
+                    jnp.where(resume, row["done"],
+                              jnp.zeros((lanes,), jnp.int32)),
                     jnp.zeros((lanes,), jnp.int32),
-                    jnp.max(jnp.where(sample < nf, 1, 0)).astype(jnp.int32))
+                    jnp.zeros((lanes,), jnp.int32),
+                )
+            return out
 
         def pair_prologue(row):
             """Fused first round (single-super flat scenes): the NEE
@@ -449,7 +506,10 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
         def store_row(rt, st):
             (sample, bounce, ox, oy, oz, dx, dy, dz,
              t0, t1, t2, s0, s1, s2, l0, l1, l2,
-             tfin, trifin, stopped, _) = st
+             tfin, trifin, stopped, _) = st[0:21]
+            if budget > 0:
+                counters_out[rt, 2, :] = st[24]  # unres
+                counters_out[rt, 3, :] = st[25]  # done mask
             counters_out[rt, 0, :] = sample
             counters_out[rt, 1, :] = bounce
             ray_out[rt, 0, :] = ox
@@ -513,9 +573,9 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
 
             # --- main loop: trace to the next hit, consuming misses.
             def cond(flat):
-                tot = flat[_L - 1]
+                tot = flat[_FLAG]
                 for k in range(1, kr):
-                    tot = tot + flat[k * _L + _L - 1]
+                    tot = tot + flat[k * _L + _FLAG]
                 return tot > 0
 
             def one_round(flat):
@@ -526,13 +586,17 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                     (sample, bounce, ox, oy, oz, dx, dy, dz) = st[0:8]
                     stopped = st[19]
                     inflight = (sample < nf) & (stopped == 0)
-                    bounds.append(jnp.where(inflight, t_max, neg_inf))
+                    # budget carry: the resume bound (t_max except for
+                    # flag==3 lanes in the dispatch's first round).
+                    b0 = st[21] if budget > 0 else t_max
+                    bounds.append(jnp.where(inflight, b0, neg_inf))
                     rays9.append((
                         ox, oy, oz, dx, dy, dz,
                         jnp.float32(1.0) / dx,
                         jnp.float32(1.0) / dy,
                         jnp.float32(1.0) / dz,
                     ))
+                done = unres = None
                 if prebuilt:
                     bt, btri = _closest_tile_sweep_prebuilt(
                         rays9[0], bounds[0], cl_planes_ref, start_ref,
@@ -541,6 +605,16 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                         super_min_ref, super_max_ref,
                     )
                     bts, btris = [bt], [btri]
+                elif grouped and budget > 0:
+                    bts, btris, done, unres = _closest_tile_sweep_grouped(
+                        rays9, bounds,
+                        super_min_ref, super_max_ref, cl_planes_ref,
+                        start_ref, table_hbm, super_entries, cl_entries,
+                        tbuf, cache_tag, sem, num_supers,
+                        cur_entry=cur_entry,
+                        budget=budget, btri0_k=[sts[0][22]],
+                        done_mask=sts[0][23],
+                    )
                 elif grouped:
                     bts, btris = _closest_tile_sweep_grouped(
                         rays9, bounds,
@@ -559,7 +633,11 @@ def _make_path_kernel(leaf: int, num_supers: int, rt_count: int,
                     bts, btris = [bt], [btri]
                 out = []
                 for k in range(kr):
-                    out.extend(pts[k](sts[k], bts[k], btris[k]))
+                    if budget > 0:
+                        out.extend(pts[k](sts[k], bts[k], btris[k],
+                                          done, unres))
+                    else:
+                        out.extend(pts[k](sts[k], bts[k], btris[k]))
                 return tuple(out)
 
             def body(flat):
@@ -1136,6 +1214,7 @@ def pallas_trace_regen(
     sample, bounce, flag, origin, direction, thr, srad, lrad,
     shadow_o, shadow_d, contrib,
     tile_override=None,
+    done_mask=None, tri_carry=None, t_carry=None,
 ):
     """Advance every lane to its next HIT or exhaust its samples.
 
@@ -1181,8 +1260,34 @@ def pallas_trace_regen(
     # +1 never overflows.
     sample_p = jnp.minimum(sample_p, num_frames_dyn)
 
+    grouped, tables, start_spec, scratch = _walk_tables_and_specs(scene)
+    table, starts, super_min, super_max, cl_planes = tables
+    num_supers = table.shape[0]
+    leaf = scene.cluster_tris.shape[1]
+
+    pair = _PAIR and not grouped and num_supers == 1
+    from .pallas_walk import _SWEEP_BUDGET, _krays, _use_prebuilt
+
+    prebuilt = grouped and _use_prebuilt(
+        num_supers, cl_planes.shape[-1], tile, _krays(grouped, rt)
+    )
+    # Budget-capped sweeps need the caller to route unresolved lanes
+    # (sorted fused loop passes the carries); see _make_path_kernel.
+    budget = (
+        _SWEEP_BUDGET
+        if (_SWEEP_BUDGET > 0 and grouped and not prebuilt
+            and _krays(grouped, rt) == 1 and 2 <= num_supers <= 30
+            and done_mask is not None)
+        else 0
+    )
+
     tiles = padded // tile
-    counters = _pack_rows([sample_p, bounce_p, flag_p], tiles, tile)
+    cnt_cols = [sample_p, bounce_p, flag_p]
+    pix_cols = [u_p, v_p, nb_p[:, 0], nb_p[:, 1]]
+    if budget > 0:
+        cnt_cols += [pad1(done_mask, 0), pad1(tri_carry, -1)]
+        pix_cols += [pad1(t_carry, 1.0)]
+    counters = _pack_rows(cnt_cols, tiles, tile)
     rays = _pack_rows(
         [o_p[:, 0], o_p[:, 1], o_p[:, 2], d_p[:, 0], d_p[:, 1], d_p[:, 2]],
         tiles, tile,
@@ -1193,7 +1298,7 @@ def pallas_trace_regen(
          lrad_p[:, 0], lrad_p[:, 1], lrad_p[:, 2]],
         tiles, tile,
     )
-    pix = _pack_rows([u_p, v_p, nb_p[:, 0], nb_p[:, 1]], tiles, tile)
+    pix = _pack_rows(pix_cols, tiles, tile)
     nee = _pack_rows(
         [so_p[:, 0], so_p[:, 1], so_p[:, 2],
          sd_p[:, 0], sd_p[:, 1], sd_p[:, 2],
@@ -1208,21 +1313,10 @@ def pallas_trace_regen(
         jnp.asarray(num_frames_dyn, jnp.int32),
     ])
 
-    grouped, tables, start_spec, scratch = _walk_tables_and_specs(scene)
-    table, starts, super_min, super_max, cl_planes = tables
-    num_supers = table.shape[0]
-    leaf = scene.cluster_tris.shape[1]
-
     def full(shape):
         zeros = tuple(0 for _ in shape)
         return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
 
-    pair = _PAIR and not grouped and num_supers == 1
-    from .pallas_walk import _krays, _use_prebuilt
-
-    prebuilt = grouped and _use_prebuilt(
-        num_supers, cl_planes.shape[-1], tile, _krays(grouped, rt)
-    )
     scratch_shapes = scratch(num_supers, tile, _krays(grouped, rt))
     if pair:
         # Stacked (closest | occlusion) entry table for the pair sweep.
@@ -1230,15 +1324,18 @@ def pallas_trace_regen(
             pltpu.VMEM((2 * cl_planes.shape[-1], tile), jnp.float32)
         ]
 
+    n_cnt_in = len(cnt_cols)
+    n_pix = len(pix_cols)
+    n_cnt_out = 4 if budget > 0 else 2
     outs = pl.pallas_call(
         _make_path_kernel(leaf, num_supers, rt, grouped=grouped, pair=pair,
-                          prebuilt=prebuilt),
+                          prebuilt=prebuilt, budget=budget),
         grid=(tiles // rt,),
         in_specs=[
-            pl.BlockSpec((rt, 3, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, n_cnt_in, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 6, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 4, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, n_pix, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
             pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
@@ -1249,14 +1346,14 @@ def pallas_trace_regen(
             pl.BlockSpec(memory_space=pl.ANY),  # triangle table in HBM
         ],
         out_specs=[
-            pl.BlockSpec((rt, 2, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, n_cnt_out, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 6, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 9, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tiles, 2, tile), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, n_cnt_out, tile), jnp.int32),
             jax.ShapeDtypeStruct((tiles, 6, tile), jnp.float32),
             jax.ShapeDtypeStruct((tiles, 9, tile), jnp.float32),
             jax.ShapeDtypeStruct((tiles, 1, tile), jnp.float32),
@@ -1281,7 +1378,16 @@ def pallas_trace_regen(
     lrad = jnp.stack([unpack(shade_o, a) for a in range(6, 9)], axis=1)
     t = unpack(t_o, 0)
     tri = unpack(tri_o, 0)
-    return sample, bounce, origin, direction, thr, srad, lrad, t, tri
+    if done_mask is None:
+        return sample, bounce, origin, direction, thr, srad, lrad, t, tri
+    if budget > 0:
+        unres = unpack(counters_o, 2)
+        done = unpack(counters_o, 3)
+    else:  # carries supplied but budget disabled for this config
+        unres = jnp.zeros((num_rays,), jnp.int32)
+        done = jnp.zeros((num_rays,), jnp.int32)
+    return (sample, bounce, origin, direction, thr, srad, lrad, t, tri,
+            unres, done)
 
 
 def pallas_trace_regen_segs(

@@ -301,6 +301,14 @@ _PIPE_SUPER = os.environ.get("RAYFINDER_PIPE_SUPER", "0") == "1"
 # shrink — the _next_rows2 argument). Average visits do 1.1-1.4 inner
 # rounds (diag_iters), so P=1 wastes almost nothing.
 _GPREFIX = int(os.environ.get("RAYFINDER_GPREFIX", "0"))
+# Budget-capped grouped closest sweeps (big sorted scenes, kr == 1,
+# 2..30 supers): at most B super visits per sweep call; lanes with
+# remaining enterable supers return unresolved with a (t, tri,
+# done-bitmask) carry and are re-sorted into coherent tiles for the next
+# dispatch, instead of serializing their original tile-mates (diag: tile
+# rounds mean 10.7 / p95 21 vs per-lane need ~0.5 on bounce
+# populations — the per-tile MAX is the dominant measured waste).
+_SWEEP_BUDGET = int(os.environ.get("RAYFINDER_SWEEP_BUDGET", "0"))
 
 
 def _use_prebuilt(num_supers: int, group: int, tile: int, kr: int) -> bool:
@@ -761,6 +769,7 @@ def _closest_tile_sweep_grouped(
     rays_k, bound0_k, super_min_ref, super_max_ref, cl_planes_ref, startf_ref,
     tableT_hbm, super_entries, cl_entries, tbufT, cache_tag, sem,
     num_supers: int, cur_entry=None,
+    budget: int = 0, btri0_k=None, done_mask=None,
 ):
     """Grouped closest sweep over K ray sets sharing one lane tile:
     tile-uniform front-to-back over supers (as in _closest_tile_sweep),
@@ -773,7 +782,8 @@ def _closest_tile_sweep_grouped(
     length-K lists. Returns (bts, btris) lists."""
     K = len(rays_k)
     tile = bound0_k[0].shape[0]
-    btri0_k = [jnp.full((tile,), -1, jnp.int32) for _ in range(K)]
+    if btri0_k is None:
+        btri0_k = [jnp.full((tile,), -1, jnp.int32) for _ in range(K)]
     oxs = [r[0] for r in rays_k]
     oys = [r[1] for r in rays_k]
     ozs = [r[2] for r in rays_k]
@@ -879,13 +889,59 @@ def _closest_tile_sweep_grouped(
             finish=lambda: _fetch_super_wait(tableT_hbm, tbufT, sem, miss1, s1),
         )
 
+    use_budget = budget > 0 and K == 1 and done_mask is not None
     for k in range(K):
-        super_entries[k][:, :] = _super_entry_fold(
+        fold = _super_entry_fold(
             super_min_ref, super_max_ref,
             oxs[k], oys[k], ozs[k],
             rays_k[k][6], rays_k[k][7], rays_k[k][8], bound0_k[k],
         )
+        if use_budget and k == 0:
+            # Per-lane resume: mask out supers this lane already completed
+            # in an earlier (budget-capped) dispatch. done_mask is a
+            # per-lane int32 bitmask (num_supers <= 30 enforced by the
+            # caller); progress is monotone — each dispatch completes at
+            # least one super per needing lane — so segments terminate.
+            row_s = jax.lax.broadcasted_iota(
+                jnp.int32, (num_supers, tile), 0)
+            bit = jnp.bitwise_and(
+                jax.lax.shift_right_logical(done_mask[None, :], row_s),
+                jnp.int32(1))
+            fold = jnp.where(bit == 1, jnp.inf, fold)
+        super_entries[k][:, :] = fold
     s0, k0 = _next_row_k(super_entries, bound0_k)
+
+    if use_budget:
+        # Budget-capped variant (RAYFINDER_SWEEP_BUDGET): at most `budget`
+        # super visits per call; lanes with remaining enterable supers
+        # return unres=1 plus their (bt, btri, done_mask) carry, to be
+        # re-sorted and resumed by a later dispatch at full occupancy.
+        inf_row = jnp.full((tile,), jnp.inf, jnp.float32)
+
+        def sb_cond(state):
+            return jnp.isfinite(state[3]) & (state[5] < jnp.int32(budget))
+
+        def sb_body(state):
+            bt, btri, s, _, done, cnt = state
+            miss = _fetch_super_start(tableT_hbm, tbufT, sem, cache_tag, s)
+            bts, btris = cluster_phase(
+                s, [bt], [btri],
+                finish=lambda: _fetch_super_wait(
+                    tableT_hbm, tbufT, sem, miss, s),
+            )
+            super_entries[0][s, :] = inf_row
+            done = jnp.bitwise_or(done, jnp.left_shift(jnp.int32(1), s))
+            s_next, key = _next_row_k(super_entries, bts)
+            return (bts[0], btris[0], s_next, key, done, cnt + 1)
+
+        bt, btri, _, _, done, _ = jax.lax.while_loop(
+            sb_cond, sb_body,
+            (bound0_k[0], btri0_k[0], s0, k0, done_mask, jnp.int32(0)),
+        )
+        rem = jnp.where(super_entries[0][:, :] < bt[None, :],
+                        super_entries[0][:, :], jnp.inf)
+        unres = jnp.isfinite(jnp.min(rem, axis=0)).astype(jnp.int32)
+        return [bt], [btri], done, unres
 
     def s_cond(state):
         return jnp.isfinite(state[-1])

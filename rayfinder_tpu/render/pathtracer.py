@@ -1007,7 +1007,9 @@ def _count_wrap(body, flag_index=2):
         *inner, cnt = st
         out = body(tuple(inner))
         flag = out[flag_index]
-        hits = jnp.sum((flag > 0).astype(jnp.int32))
+        # flag==3 (budget-interrupted resume) is the SAME segment continued
+        # across dispatches — not a new hit.
+        hits = jnp.sum(((flag == 1) | (flag == 2)).astype(jnp.int32))
         depth = jnp.sum((flag == 2).astype(jnp.int32))
         return out + (cnt + jnp.stack([hits, depth]),)
 
@@ -1414,8 +1416,17 @@ def _accumulate_regen_fused_sorted(
         # A/B measurements (ADVICE r4).
         raise ValueError(
             f"RAYFINDER_SORT_KEY={sort_key_mode!r}: expected tri|dir")
+    # Budget-capped sweeps (RAYFINDER_SWEEP_BUDGET, dir key only): lanes
+    # whose traversal is interrupted at the visit budget return unresolved
+    # with a (t, tri, done-bitmask) carry, sort into their own key band,
+    # and resume (flag==3) next iteration in re-grouped coherent tiles —
+    # instead of serializing their original tile-mates (diag: tile rounds
+    # mean 10.7 / p95 21 vs per-lane need ~0.5 on bounce populations).
+    from ..ops.pallas_walk import _SWEEP_BUDGET
 
-    def _dir_bin_key(tri, direction, pix, live):
+    budget_on = _SWEEP_BUDGET > 0 and sort_key_mode == "dir"
+
+    def _dir_bin_key(tri, direction, pix, live, unres=None):
         """Free arithmetic sort key: previous hit cluster x 96 direction
         bins (cube face x 4x4 grid). prof/study_sortkey2.py (dumped
         courtyard sets): bounce tile SUPER VISITS 18.66 -> 6.91 under this
@@ -1447,6 +1458,13 @@ def _accumulate_regen_fused_sorted(
         dbin = (face * 4 + ub) * 4 + vb
         key = hc * jnp.int32(96) + dbin
         key = jnp.where(hit, key, jnp.int32(2**28) + pix)
+        if unres is not None:
+            # Unresolved (budget-interrupted) lanes: their own band between
+            # hit keys (< 2**20) and regenerating lanes (2**28) so they
+            # re-group into coherent tiles; keyed by the partial-hit
+            # cluster when one exists, else the direction bin.
+            ukey = jnp.where(tri >= 0, hc * jnp.int32(96) + dbin, dbin)
+            key = jnp.where(unres == 1, jnp.int32(2**26) + ukey, key)
         return jnp.where(live, key, dead_key)
 
     if sort_key_mode == "dir":
@@ -1468,36 +1486,56 @@ def _accumulate_regen_fused_sorted(
     def make_body_dir(tile_override=None):
         def body(st):
             (sample, bounce, flag, origin, direction, thr, srad, lrad,
-             sh_o, sh_d, contrib, uu, vv, nb, pix) = st
-            (sample, bounce, origin, direction, thr, srad, lrad, _t, tri
-             ) = pallas_trace_regen(
-                scene, camera, sky, uu, vv, nb, inv_dims, frame_base,
-                spp_dyn, nf, T_MAX,
-                sample, bounce, flag, origin, direction, thr, srad, lrad,
-                sh_o, sh_d, contrib,
-                tile_override=tile_override,
-            )
+             sh_o, sh_d, contrib, uu, vv, nb, pix) = st[0:15]
+            if budget_on:
+                tcar, tric, dnc = st[15:18]
+                (sample, bounce, origin, direction, thr, srad, lrad, _t,
+                 tri, unres, dnc) = pallas_trace_regen(
+                    scene, camera, sky, uu, vv, nb, inv_dims, frame_base,
+                    spp_dyn, nf, T_MAX,
+                    sample, bounce, flag, origin, direction, thr, srad,
+                    lrad, sh_o, sh_d, contrib,
+                    tile_override=tile_override,
+                    done_mask=dnc, tri_carry=tric, t_carry=tcar,
+                )
+            else:
+                (sample, bounce, origin, direction, thr, srad, lrad, _t, tri
+                 ) = pallas_trace_regen(
+                    scene, camera, sky, uu, vv, nb, inv_dims, frame_base,
+                    spp_dyn, nf, T_MAX,
+                    sample, bounce, flag, origin, direction, thr, srad,
+                    lrad, sh_o, sh_d, contrib,
+                    tile_override=tile_override,
+                )
+                unres = None
             live = sample < nf
+            if budget_on:
+                unr = live & (unres == 1)
+                shade_live = live & jnp.logical_not(unr)
+            else:
+                shade_live = live
             noise = noise_of(nb, sample)
             (flag, origin, direction, thr, bounce, sh_o, sh_d, contrib
              ) = _nee_and_continuation(
-                scene, noise, origin, direction, tri, thr, bounce, live,
-                sun_dir, solar_radiance, park, num_bounces,
+                scene, noise, origin, direction, tri, thr, bounce,
+                shade_live, sun_dir, solar_radiance, park, num_bounces,
             )
-            key = _dir_bin_key(tri, direction, pix, live)
+            if budget_on:
+                flag = jnp.where(unr, jnp.int32(3), flag)
+                tcar, tric = _t, tri
+            key = _dir_bin_key(tri, direction, pix, live, unres=unres)
             order = jnp.argsort(key, stable=True)
             # Floats ride one packed gather; ints their own (same indices —
             # XLA fuses them; bitcasting ints through f32 flushes denormals
             # at this scale, CLAUDE.md).
-            packed = jnp.concatenate(
-                [
-                    origin, direction, thr, srad, lrad,
-                    sh_o, sh_d, contrib,
-                    uu[:, None], vv[:, None], nb,
-                ],
-                axis=1,
-            )[order]
-            ints = jnp.stack([sample, bounce, flag, pix], axis=1)[order]
+            fcols = [origin, direction, thr, srad, lrad,
+                     sh_o, sh_d, contrib, uu[:, None], vv[:, None], nb]
+            icols = [sample, bounce, flag, pix]
+            if budget_on:
+                fcols.append(tcar[:, None])
+                icols += [tric, dnc]
+            packed = jnp.concatenate(fcols, axis=1)[order]
+            ints = jnp.stack(icols, axis=1)[order]
             origin = packed[:, 0:3]
             direction = packed[:, 3:6]
             thr = packed[:, 6:9]
@@ -1513,8 +1551,11 @@ def _accumulate_regen_fused_sorted(
             bounce = ints[:, 1]
             flag = ints[:, 2]
             pix = ints[:, 3]
-            return (sample, bounce, flag, origin, direction, thr, srad, lrad,
-                    sh_o, sh_d, contrib, uu, vv, nb, pix)
+            out = (sample, bounce, flag, origin, direction, thr, srad, lrad,
+                   sh_o, sh_d, contrib, uu, vv, nb, pix)
+            if budget_on:
+                out = out + (packed[:, 28], ints[:, 4], ints[:, 5])
+            return out
 
         return body
 
@@ -1587,27 +1628,52 @@ def _accumulate_regen_fused_sorted(
         segment trades a slightly staler order for N-1 saved permutes."""
         def body(st):
             (sample, bounce, flag, origin, direction, thr, srad, lrad,
-             sh_o, sh_d, contrib, uu, vv, nb, pix) = st
-            (sample, bounce, origin, direction, thr, srad, lrad, _t, tri
-             ) = pallas_trace_regen(
-                scene, camera, sky, uu, vv, nb, inv_dims, frame_base,
-                spp_dyn, nf, T_MAX,
-                sample, bounce, flag, origin, direction, thr, srad, lrad,
-                sh_o, sh_d, contrib,
-                tile_override=tile_override,
-            )
+             sh_o, sh_d, contrib, uu, vv, nb, pix) = st[0:15]
+            if budget_on:
+                tcar, tric, dnc = st[15:18]
+                (sample, bounce, origin, direction, thr, srad, lrad, _t,
+                 tri, unres, dnc) = pallas_trace_regen(
+                    scene, camera, sky, uu, vv, nb, inv_dims, frame_base,
+                    spp_dyn, nf, T_MAX,
+                    sample, bounce, flag, origin, direction, thr, srad,
+                    lrad, sh_o, sh_d, contrib,
+                    tile_override=tile_override,
+                    done_mask=dnc, tri_carry=tric, t_carry=tcar,
+                )
+            else:
+                (sample, bounce, origin, direction, thr, srad, lrad, _t, tri
+                 ) = pallas_trace_regen(
+                    scene, camera, sky, uu, vv, nb, inv_dims, frame_base,
+                    spp_dyn, nf, T_MAX,
+                    sample, bounce, flag, origin, direction, thr, srad,
+                    lrad, sh_o, sh_d, contrib,
+                    tile_override=tile_override,
+                )
             live = sample < nf
+            if budget_on:
+                unr = live & (unres == 1)
+                shade_live = live & jnp.logical_not(unr)
+            else:
+                shade_live = live
             noise = noise_of(nb, sample)
             (flag, origin, direction, thr, bounce, sh_o, sh_d, contrib
              ) = _nee_and_continuation(
-                scene, noise, origin, direction, tri, thr, bounce, live,
-                sun_dir, solar_radiance, park, num_bounces,
+                scene, noise, origin, direction, tri, thr, bounce,
+                shade_live, sun_dir, solar_radiance, park, num_bounces,
             )
-            return (sample, bounce, flag, origin, direction, thr, srad, lrad,
-                    sh_o, sh_d, contrib, uu, vv, nb, pix)
+            out = (sample, bounce, flag, origin, direction, thr, srad, lrad,
+                   sh_o, sh_d, contrib, uu, vv, nb, pix)
+            if budget_on:
+                flag = jnp.where(unr, jnp.int32(3), flag)
+                out = (sample, bounce, flag, origin, direction, thr, srad,
+                       lrad, sh_o, sh_d, contrib, uu, vv, nb, pix,
+                       _t, tri, dnc)
+            return out
 
         return body
 
+    if budget_on and sort_key_mode != "dir":
+        raise ValueError("RAYFINDER_SWEEP_BUDGET requires SORT_KEY=dir")
     make_body_sorted = (make_body_dir if sort_key_mode == "dir"
                         else make_body_tri)
     sort_every = max(int(os.environ.get("RAYFINDER_SORT_EVERY", "1")), 1)
@@ -1647,6 +1713,12 @@ def _accumulate_regen_fused_sorted(
         noise_base_full,
         jnp.arange(batch, dtype=jnp.int32),  # pix: lanes migrate from iter 1
     )
+    if budget_on:
+        state = state + (
+            jnp.full((batch,), T_MAX, jnp.float32),   # resume bound
+            jnp.full((batch,), -1, jnp.int32),        # resume tri
+            jnp.zeros((batch,), jnp.int32),           # done-super bitmask
+        )
     small_scene = scene.cluster_tris.shape[0] <= SORT_THRESHOLD
     ft = _FULL_TILE
     full_tiles = (ft, 4096 // ft) if (small_scene and batch >= 4096) else None
@@ -1665,21 +1737,22 @@ def _accumulate_regen_fused_sorted(
         if count_rays:
             *state, cnt = state
         (sample, bounce, flag, origin, direction, thr, srad, lrad,
-         sh_o, sh_d, contrib, uu, vv, nb, pix) = state
+         sh_o, sh_d, contrib, uu, vv, nb, pix) = state[0:15]
         lrad_full = lrad_full.at[pix].add(lrad, mode="drop")
         # Live lanes are already sorted to the front (dead keys sort last),
         # but only since the last in-body sort; nonzero-compact exactly.
         busy = sample < nf
         idx = jnp.nonzero(busy, size=size, fill_value=0)[0].astype(jnp.int32)
         valid = jnp.arange(size, dtype=jnp.int32) < jnp.sum(busy.astype(jnp.int32))
-        (
-            (origin, direction, thr, srad, sh_o, sh_d, contrib, uu, vv, nb),
-            (sample, bounce, flag, pix),
-        ) = _take_packed(
-            idx,
-            [origin, direction, thr, srad, sh_o, sh_d, contrib, uu, vv, nb],
-            [sample, bounce, flag, pix],
-        )
+        fl = [origin, direction, thr, srad, sh_o, sh_d, contrib, uu, vv, nb]
+        il = [sample, bounce, flag, pix]
+        if budget_on:
+            fl.append(state[15])
+            il += [state[16], state[17]]
+        taken_f, taken_i = _take_packed(idx, fl, il)
+        (origin, direction, thr, srad, sh_o, sh_d, contrib, uu, vv, nb
+         ) = taken_f[0:10]
+        sample, bounce, flag, pix = taken_i[0:4]
         state = (
             jnp.where(valid, sample, nf),
             bounce, flag, origin, direction,
@@ -1688,6 +1761,8 @@ def _accumulate_regen_fused_sorted(
             uu, vv, nb,
             jnp.where(valid, pix, jnp.int32(batch)),  # out of range -> drop
         )
+        if budget_on:
+            state = state + (taken_f[10], taken_i[4], taken_i[5])
         body = make_body()
         if count_rays:
             state = state + (cnt,)
