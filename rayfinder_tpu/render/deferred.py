@@ -190,11 +190,20 @@ def lighting_pass(
 @jax.jit
 def resolve_pass(sample, accum, frame_count, exposure):
     """Temporal exponential blend + tonemap (resolve_pass.wgsl:34-63).
-    Returns (new_accum, display_image)."""
+    Returns (new_accum, display_image_u8).
+
+    The display image leaves the device as u8 — the reference's swapchain
+    target is BGRA8Unorm (deferred_renderer.cpp surface config), so 8-bit
+    is the contract, and the device->host frame fetch through the axon
+    tunnel is transfer-bound (measured 399 ms/frame f32 vs 180 ms u8 at
+    800x600, prof/prof_deferred.py — the fetch, not the passes, was the
+    frame-time wall)."""
     blended = jnp.where(
         frame_count == 0, sample, 0.1 * sample + 0.9 * accum
     )
-    return blended, tonemap(blended, exposure)
+    img = tonemap(blended, exposure)
+    img8 = jnp.clip(jnp.round(img * 255.0), 0.0, 255.0).astype(jnp.uint8)
+    return blended, img8
 
 
 class DeferredRenderer:
@@ -238,8 +247,9 @@ class DeferredRenderer:
             self.scene, sky, gbuf, fc, width=self.width, height=self.height, engine=self.engine
         )
         t2 = time.time()
-        self.accum, img = resolve_pass(sample, self.accum, fc, jnp.float32(exposure))
-        out = np.asarray(img).reshape(self.height, self.width, 3)
+        self.accum, img8 = resolve_pass(sample, self.accum, fc, jnp.float32(exposure))
+        out = (np.asarray(img8).reshape(self.height, self.width, 3)
+               .astype(np.float32) / np.float32(255.0))
         t3 = time.time()
         self._pass_durations["gbuffer"].append(t1 - t0)
         self._pass_durations["lighting"].append(t2 - t1)
