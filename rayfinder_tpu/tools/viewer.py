@@ -150,7 +150,9 @@ class ViewerSession:
         t0 = time.time()
         self.renderer.render(n)
         # Fence through the tonemapped host image — also what we write.
-        img = self.renderer.image()
+        # 8-bit on-device quantization: the per-refresh fetch is
+        # transfer-bound through the tunnel and the PNG is 8-bit anyway.
+        img = self.renderer.image_u8()
         self._render_seconds += time.time() - t0
         write_png(self.out_path, img)
         return self.status()
