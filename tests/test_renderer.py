@@ -113,3 +113,26 @@ def test_checkpoint_roundtrip(duck_device_scene, params, tmp_path):
     r3 = Renderer(duck_device_scene, dc.replace(params, exposure=0.5), engine="reference")
     with pytest.raises(ValueError, match="different render parameters"):
         r3.load_checkpoint(ckpt)
+
+
+def test_image_u8_matches_image(duck_device_scene):
+    """The 8-bit display fetch must equal the exact f32 surface quantized
+    (on-device tonemap+round vs host round of image())."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import rayfinder_tpu.render.renderer as rr
+    from rayfinder_tpu.render.camera import create_camera
+
+    cam = create_camera([2.0, 1.5, 2.0], [0.1, 0.8, 0.0], 0.0, 1.0, 70.0,
+                        64 / 48)
+    params = rr.RenderParameters(width=64, height=48, camera=cam,
+                                 sampling=rr.SamplingParams(2, 2),
+                                 exposure=0.25)
+    r = rr.Renderer(duck_device_scene, params)
+    r.render(2)
+    f32 = r.image()
+    u8 = r.image_u8()
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(
+        u8, np.clip(np.round(f32 * 255.0), 0, 255).astype(np.uint8))
