@@ -49,8 +49,9 @@ def test_alt_key_sorted_matches_wavefront(monkeypatch, mode, sort_every):
     )
 
 
-@pytest.mark.parametrize("sweep_budget", [1, 2])
-def test_budget_capped_sweeps_match_wavefront(monkeypatch, sweep_budget):
+@pytest.mark.parametrize("sweep_budget,sort_every", [(1, 1), (2, 1), (2, 2)])
+def test_budget_capped_sweeps_match_wavefront(monkeypatch, sweep_budget,
+                                              sort_every):
     """RAYFINDER_SWEEP_BUDGET=B: budget-interrupted lanes resume via the
     flag==3 carry (t, tri, done-super bitmask) across dispatches. Radiance
     must match the wavefront oracle within the sorted-loop budget, and the
@@ -60,6 +61,7 @@ def test_budget_capped_sweeps_match_wavefront(monkeypatch, sweep_budget):
     monkeypatch.setenv("RAYFINDER_REGEN_SORT", "1")
     monkeypatch.setenv("RAYFINDER_SORT_KEY", "dir")
     monkeypatch.setenv("RAYFINDER_GROUPED", "1")
+    monkeypatch.setenv("RAYFINDER_SORT_EVERY", str(sort_every))
     flat, textures = courtyard_scene(8)
     scene = build_device_scene(flat, textures=textures)
 
